@@ -1,0 +1,123 @@
+"""Model protocol + batched full-catalog scoring helpers.
+
+A model here is a tiny dataclass with
+
+* ``init(key) -> params``  (a pytree of jnp arrays)
+* ``apply(params, batch) -> logits`` (pre-sigmoid scores; the trainer applies
+  ``sigmoid`` / BCE-with-logits, which is mathematically identical to the
+  reference's sigmoid-output + ``BCELoss`` but numerically stable)
+* ``score_catalog(params, ctx) -> [U, I] logits`` -- the serving path.
+
+The reference serves by looping over users in Python and re-running forward
+on a catalog-sized batch per user (e.g. model/widedeep.py:68-78,
+model/din.py:55-66) -- the #1 wall-clock hotspot (SURVEY.md §3.5). Here the
+catalog scorer is a ``lax.map`` over fixed-size user tiles, each tile one
+batched forward, compiled once; seen-item filtering happens later by masking
+scores to -inf before top-k (equivalent list semantics, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class ServingContext:
+    """Device-resident feature blocks needed to score the full catalog."""
+
+    user_features: jnp.ndarray  # [U, 24] = [age, gender(2), occupation(21)]
+    item_features: jnp.ndarray  # [I, 19] genre flags
+    history: Optional[jnp.ndarray] = None  # [U, L] behavior histories (DIN/DIEN)
+    rating_matrix: Optional[jnp.ndarray] = None  # [U, I] (AutoRec)
+
+    @property
+    def num_users(self) -> int:
+        return self.user_features.shape[0]
+
+    @property
+    def num_items(self) -> int:
+        return self.item_features.shape[0]
+
+
+def _pad_users(num_users: int, tile: int) -> int:
+    return ((num_users + tile - 1) // tile) * tile
+
+
+def catalog_scores_from_features(
+    apply_fn: Callable, params, ctx: ServingContext, tile: int = 64
+) -> jnp.ndarray:
+    """[U, I] logits for a feature-vector model.
+
+    Builds the [tile * I, 45] feature matrix on device per user tile (user id,
+    item id, user block, item block broadcast together) and maps the model
+    over tiles -- no host loop, no 286 MB all-pairs materialization.
+    """
+    U, I = ctx.num_users, ctx.num_items
+    U_pad = _pad_users(U, tile)
+    user_ids = jnp.arange(U_pad, dtype=jnp.int32) % U  # pad rows re-score user 0..
+    uf = ctx.user_features[user_ids]  # [U_pad, 24]
+    item_block = jnp.concatenate(
+        [jnp.arange(I, dtype=jnp.float32)[:, None], ctx.item_features], axis=1
+    )  # [I, 20]
+
+    def tile_fn(args):
+        ids_t, uf_t = args  # [T], [T, 24]
+        T = ids_t.shape[0]
+        u_col = jnp.broadcast_to(ids_t.astype(jnp.float32)[:, None, None], (T, I, 1))
+        u_feat = jnp.broadcast_to(uf_t[:, None, :], (T, I, uf_t.shape[1]))
+        i_blk = jnp.broadcast_to(item_block[None, :, :], (T, I, item_block.shape[1]))
+        x = jnp.concatenate([u_col, i_blk[..., :1], u_feat, i_blk[..., 1:]], axis=-1)
+        return apply_fn(params, x.reshape(T * I, -1)).reshape(T, I)
+
+    n_tiles = U_pad // tile
+    scores = jax.lax.map(
+        tile_fn,
+        (user_ids.reshape(n_tiles, tile), uf.reshape(n_tiles, tile, -1)),
+    )
+    return scores.reshape(U_pad, I)[:U]
+
+
+def catalog_scores_from_pairs(
+    apply_fn: Callable, params, num_users: int, num_items: int, tile: int = 64
+) -> jnp.ndarray:
+    """[U, I] logits for an id-pair model (NeuralCF-style)."""
+    U_pad = _pad_users(num_users, tile)
+    user_ids = jnp.arange(U_pad, dtype=jnp.int32) % num_users
+    items = jnp.arange(num_items, dtype=jnp.int32)
+
+    def tile_fn(ids_t):
+        T = ids_t.shape[0]
+        u = jnp.repeat(ids_t, num_items)
+        i = jnp.tile(items, T)
+        return apply_fn(params, (u, i)).reshape(T, num_items)
+
+    scores = jax.lax.map(tile_fn, user_ids.reshape(-1, tile))
+    return scores.reshape(U_pad, num_items)[:num_users]
+
+
+def catalog_scores_from_history(
+    apply_fn: Callable, params, history: jnp.ndarray, num_items: int, tile: int = 16
+) -> jnp.ndarray:
+    """[U, I] logits for a behavior-sequence model (DIN/DIEN).
+
+    Each user's history is broadcast across the catalog: the reference repeats
+    it num_items times per user in a Python loop (model/din.py:55-66); here a
+    tile of users is scored in one [T * I, L] batched forward.
+    """
+    U, L = history.shape
+    U_pad = _pad_users(U, tile)
+    hist = jnp.concatenate([history, history[: U_pad - U]], axis=0) if U_pad > U else history
+    targets = jnp.arange(num_items, dtype=jnp.int32)
+
+    def tile_fn(hist_t):
+        T = hist_t.shape[0]
+        h = jnp.broadcast_to(hist_t[:, None, :], (T, num_items, L)).reshape(-1, L)
+        t = jnp.tile(targets, T)
+        return apply_fn(params, (h, t)).reshape(T, num_items)
+
+    scores = jax.lax.map(tile_fn, hist.reshape(-1, tile, L))
+    return scores.reshape(U_pad, num_items)[:U]

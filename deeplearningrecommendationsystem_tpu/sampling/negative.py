@@ -1,0 +1,78 @@
+"""Rejection-free uniform negative sampling under ``jit``.
+
+The reference samples negatives with a host-side Python rejection loop --
+``while (u, i) in excluded_pairs: resample`` (reference sampler/sampler.py:16-48)
+-- which is O(users x negatives) Python-interpreter work and unjittable.
+
+The TPU-native design replaces rejection with an *exact* inverse-CDF draw over
+the allowed set, so the distribution is identical (uniform with replacement
+over each user's non-excluded items) but the cost is one cumsum + one batched
+``searchsorted``, fully inside XLA:
+
+  1. ``allowed = ~excluded``                    bool [U, I]
+  2. ``cdf = cumsum(allowed, axis=1)``          int32 [U, I] (last col = count)
+  3. draw ``r ~ UniformInt[0, count_u)``        per (user, slot)
+  4. item = index of the (r+1)-th allowed item = searchsorted(cdf_u, r, 'right')
+
+For ml-100k the bitmap is 943x1682 (~1.6 M bits) -- trivial; for large vocabs
+the same construction shards row-wise over the model axis of the mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("num_negatives",))
+def negative_sample(
+    key: jax.Array, excluded: jax.Array, num_negatives: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Draw ``num_negatives`` uniform non-excluded items per user.
+
+    Args:
+      key: PRNG key.
+      excluded: bool [U, I], True where the pair must not be sampled.
+      num_negatives: draws per user (with replacement, like the reference).
+
+    Returns:
+      (users [U*negs] int32, items [U*negs] int32), ordered user-major to
+      match the reference's emission order (sampler/sampler.py:21-27).
+    """
+    allowed = ~excluded
+    cdf = jnp.cumsum(allowed.astype(jnp.int32), axis=1)  # [U, I]
+    counts = cdf[:, -1]  # [U]
+    num_users = excluded.shape[0]
+
+    # r in [0, count_u) per slot; guard count==0 (cannot happen on ml-100k).
+    u01 = jax.random.uniform(key, (num_users, num_negatives))
+    r = jnp.floor(u01 * jnp.maximum(counts, 1)[:, None]).astype(jnp.int32)
+    r = jnp.minimum(r, jnp.maximum(counts - 1, 0)[:, None])
+
+    items = jax.vmap(lambda c, rr: jnp.searchsorted(c, rr, side="right"))(cdf, r)
+    users = jnp.broadcast_to(
+        jnp.arange(num_users, dtype=jnp.int32)[:, None], (num_users, num_negatives)
+    )
+    return users.reshape(-1), items.reshape(-1).astype(jnp.int32)
+
+
+class NegativeSampler:
+    """Stateless convenience wrapper returning host-side split dicts."""
+
+    def __init__(self, excluded: np.ndarray, seed: int = 0):
+        self.excluded = jnp.asarray(excluded)
+        self._key = jax.random.PRNGKey(seed)
+
+    def sample(self, num_negatives: int):
+        self._key, sub = jax.random.split(self._key)
+        users, items = negative_sample(sub, self.excluded, num_negatives)
+        users, items = np.asarray(users), np.asarray(items)
+        return {
+            "user": users,
+            "item": items,
+            "rating": np.zeros(len(users), dtype=np.float32),
+        }
