@@ -1,0 +1,60 @@
+"""AFM: attention-weighted pairwise interactions + LR part.
+
+Capability parity with reference model/afm.py:6-83. Field set quirk kept:
+age participates as the RAW scalar broadcast to embedding width (not through
+a table, model/afm.py:54); attention parameters are N(0,1) like the
+reference's ``torch.randn`` (model/afm.py:22-24).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from deeplearningrecommendationsystem_tpu.features import FeatureSpec, ML100K_SPEC
+from deeplearningrecommendationsystem_tpu.models.base import (
+    ServingContext,
+    catalog_scores_from_features,
+)
+from deeplearningrecommendationsystem_tpu.models.common import linear_part, linear_part_init
+from deeplearningrecommendationsystem_tpu.ops.attention import afm_attention
+from deeplearningrecommendationsystem_tpu.ops.embedding import embed_fields, init_field_tables
+from deeplearningrecommendationsystem_tpu.ops.interactions import pairwise_products
+from deeplearningrecommendationsystem_tpu.ops.linear import linear, linear_init
+
+
+@dataclasses.dataclass
+class AFM:
+    spec: FeatureSpec = ML100K_SPEC
+    embedding_dim: int = 128
+    attention_dim: int = 64
+
+    def init(self, key: jax.Array) -> dict:
+        ks = jax.random.split(key, 6)
+        return {
+            "tables": init_field_tables(ks[0], self.spec, self.embedding_dim),
+            "att_w": jax.random.normal(ks[1], (self.embedding_dim, self.attention_dim)),
+            "att_b": jax.random.normal(ks[2], (self.attention_dim,)),
+            "att_h": jax.random.normal(ks[3], (self.attention_dim, 1)),
+            "att_out": linear_init(ks[4], self.embedding_dim, 1),
+            "wide": linear_part_init(ks[5], self.spec),
+        }
+
+    def apply(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+        e = embed_fields(params["tables"], x, self.spec)
+        age = x[:, self.spec.age_col : self.spec.age_col + 1]
+        age_bcast = jnp.broadcast_to(age, (x.shape[0], self.embedding_dim))
+        fields = jnp.stack(
+            [e["user"], e["item"], age_bcast, e["gender"], e["occupation"], e["genre"]],
+            axis=1,
+        )
+        cross = pairwise_products(fields)  # [B, 15, D]
+        pooled = afm_attention(params["att_w"], params["att_b"], params["att_h"], cross)
+        cross_out = linear(params["att_out"], pooled)
+        wide = linear_part(params["wide"], x, self.spec)
+        return (wide + cross_out)[:, 0]
+
+    def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
+        return catalog_scores_from_features(self.apply, params, ctx)

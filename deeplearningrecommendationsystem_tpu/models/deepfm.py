@@ -1,0 +1,65 @@
+"""DeepFM: FM (linear + sum-square second order) wide path + deep tower.
+
+Capability parity with reference model/deepfm.py:8-94: six embedded fields
+(user, item, age-through-table, gender, occupation, genre); FM cross term via
+the sum-square identity; deep tower over the 6*D concat; final Linear(2,1)
+over [FM, deep].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deeplearningrecommendationsystem_tpu.features import FeatureSpec, ML100K_SPEC
+from deeplearningrecommendationsystem_tpu.models.base import (
+    ServingContext,
+    catalog_scores_from_features,
+)
+from deeplearningrecommendationsystem_tpu.models.common import linear_part, linear_part_init
+from deeplearningrecommendationsystem_tpu.ops.embedding import embed_fields, init_field_tables
+from deeplearningrecommendationsystem_tpu.ops.interactions import fm_cross_term
+from deeplearningrecommendationsystem_tpu.ops.linear import (
+    linear,
+    linear_init,
+    mlp_init,
+    relu_stack,
+)
+
+FIELDS = ("user", "item", "age", "gender", "occupation", "genre")
+
+
+@dataclasses.dataclass
+class DeepFM:
+    spec: FeatureSpec = ML100K_SPEC
+    hidden_units: Tuple[int, ...] = (512, 256, 128, 1)
+    embedding_dim: int = 128
+
+    def init(self, key: jax.Array) -> dict:
+        ks = jax.random.split(key, 5)
+        return {
+            "tables": init_field_tables(ks[0], self.spec, self.embedding_dim, FIELDS),
+            "deep_in": linear_init(ks[1], 6 * self.embedding_dim, self.hidden_units[0]),
+            "deep": mlp_init(ks[2], self.hidden_units),
+            "fm_linear": linear_part_init(ks[3], self.spec),
+            "out": linear_init(ks[4], 2, 1),
+        }
+
+    def _embed(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+        e = embed_fields(params["tables"], x, self.spec)
+        return jnp.stack([e[f] for f in FIELDS], axis=1)  # [B, 6, D]
+
+    def apply(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+        fields = self._embed(params, x)
+        deep = relu_stack(
+            params["deep"],
+            linear(params["deep_in"], fields.reshape(fields.shape[0], -1)),
+        )
+        fm = linear_part(params["fm_linear"], x, self.spec) + fm_cross_term(fields)[:, None]
+        return linear(params["out"], jnp.concatenate([fm, deep], axis=-1))[:, 0]
+
+    def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
+        return catalog_scores_from_features(self.apply, params, ctx)

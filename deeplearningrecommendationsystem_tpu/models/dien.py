@@ -1,0 +1,61 @@
+"""DIEN: attention-scaled history -> interest-evolution GRU -> MLP head.
+
+Capability parity with reference model/dien.py:8-81: the internal attention
+block returns per-step attention-SCALED history embeddings (not pooled); a
+plain GRU consumes them and its final hidden state is the interest vector.
+The reference omits AUGRU and the auxiliary loss (SURVEY.md #13); parity mode
+matches that, while ``use_augru=True`` switches the evolution layer to the
+paper's attention-update-gate GRU as an extension.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deeplearningrecommendationsystem_tpu.models.base import (
+    ServingContext,
+    catalog_scores_from_history,
+)
+from deeplearningrecommendationsystem_tpu.ops.attention import din_attention_weights
+from deeplearningrecommendationsystem_tpu.ops.gru import augru, gru, gru_init
+from deeplearningrecommendationsystem_tpu.ops.linear import embedding_init, mlp, mlp_init
+
+
+@dataclasses.dataclass
+class DIEN:
+    num_items: int
+    embed_size: int = 16
+    attention_units: Tuple[int, ...] = (64, 32, 1)
+    fc_units: Tuple[int, ...] = (128, 64, 1)
+    use_augru: bool = False
+
+    def init(self, key: jax.Array) -> dict:
+        ke, ka, kg, kf = jax.random.split(key, 4)
+        return {
+            "item": embedding_init(ke, self.num_items, self.embed_size),
+            "att": mlp_init(ka, (3 * self.embed_size,) + tuple(self.attention_units)),
+            "gru": gru_init(kg, self.embed_size, self.embed_size),
+            "fc": mlp_init(kf, (2 * self.embed_size,) + tuple(self.fc_units)),
+        }
+
+    def apply(self, params: dict, batch) -> jnp.ndarray:
+        hist, target = batch
+        hist_e = params["item"][hist]  # [B, L, D]
+        target_e = params["item"][target]  # [B, D]
+        w = din_attention_weights(params["att"], hist_e, target_e)  # [B, L]
+        if self.use_augru:
+            interest = augru(params["gru"], hist_e, w)
+        else:
+            interest = gru(params["gru"], hist_e * w[..., None])
+        x = jnp.concatenate([interest, target_e], axis=-1)
+        return mlp(params["fc"], x)[:, 0]
+
+    def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
+        assert ctx.history is not None, "DIEN serving needs ctx.history"
+        return catalog_scores_from_history(
+            self.apply, params, ctx.history, self.num_items, tile=8
+        )

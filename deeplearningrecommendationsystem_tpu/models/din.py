@@ -1,0 +1,62 @@
+"""DIN: target-aware attention pooling over behavior history.
+
+Capability parity with reference model/din.py:9-66: shared item embedding;
+activation-unit MLP over [hist, hist - target, target] -> softmax over the
+history axis -> weighted-sum user vector; concat with the target embedding
+into the final MLP. Parity mode does not mask the left zero-padding (the
+reference pads with item id 0, scripts/din.py:20-31); ``mask_padding=True``
+enables the corrected masked-attention variant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deeplearningrecommendationsystem_tpu.models.base import (
+    ServingContext,
+    catalog_scores_from_history,
+)
+from deeplearningrecommendationsystem_tpu.ops.attention import attention_pool
+from deeplearningrecommendationsystem_tpu.ops.linear import embedding_init, mlp, mlp_init
+
+
+@dataclasses.dataclass
+class DIN:
+    num_items: int
+    embed_size: int = 64
+    attention_units: Tuple[int, ...] = (128, 64, 1)
+    fc_units: Tuple[int, ...] = (256, 128, 1)
+    mask_padding: bool = False
+
+    def init(self, key: jax.Array) -> dict:
+        ke, ka, kf = jax.random.split(key, 3)
+        return {
+            "item": embedding_init(ke, self.num_items, self.embed_size),
+            "att": mlp_init(ka, (3 * self.embed_size,) + tuple(self.attention_units)),
+            "fc": mlp_init(kf, (2 * self.embed_size,) + tuple(self.fc_units)),
+        }
+
+    def apply(self, params: dict, batch) -> jnp.ndarray:
+        hist, target = batch  # [B, L] int, [B] int
+        hist_e = params["item"][hist]  # [B, L, D]
+        target_e = params["item"][target]  # [B, D]
+        mask = None
+        if self.mask_padding:
+            # valid = positions after the leading zero-pad run; item 0 can
+            # legitimately appear inside a history, so mask only the pad
+            # prefix (cummax flips to 1 at the first nonzero).
+            nonzero = (hist != 0).astype(jnp.int32)
+            mask = jax.lax.cummax(nonzero, axis=1) > 0
+        pooled = attention_pool(params["att"], hist_e, target_e, mask)
+        x = jnp.concatenate([pooled, target_e], axis=-1)
+        return mlp(params["fc"], x)[:, 0]
+
+    def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
+        assert ctx.history is not None, "DIN serving needs ctx.history"
+        return catalog_scores_from_history(
+            self.apply, params, ctx.history, self.num_items
+        )
