@@ -1,0 +1,79 @@
+"""CLI: one entry point for every model preset.
+
+Replaces the reference's 15 per-model scripts (SURVEY.md §2.4) with
+
+    python -m deeplearningrecommendationsystem_tpu.cli.run --model deepfm
+    python -m deeplearningrecommendationsystem_tpu.cli.run --model mf --epochs 20
+    python -m deeplearningrecommendationsystem_tpu.cli.run --list
+
+The preset table carries each script's hyperparameters; flags override them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from deeplearningrecommendationsystem_tpu.configs.presets import PRESETS
+from deeplearningrecommendationsystem_tpu.experiments import DEFAULT_DATA, run_experiment
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="TPU-native CTR/ranking experiments")
+    ap.add_argument("--model", choices=sorted(PRESETS), help="model preset to run")
+    ap.add_argument("--list", action="store_true", help="list presets and exit")
+    ap.add_argument("--data", default=DEFAULT_DATA, help="path to ml-100k")
+    ap.add_argument("--epochs", type=int, help="override preset epochs")
+    ap.add_argument("--lr", type=float, help="override learning rate")
+    ap.add_argument("--weight-decay", type=float, help="override weight decay")
+    ap.add_argument("--k", type=int, help="override ranking cutoff")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--no-epoch-metrics",
+        action="store_true",
+        help="skip per-epoch metric tracking (fastest pure-training mode)",
+    )
+    ap.add_argument("--json", action="store_true", help="emit a JSON summary")
+    args = ap.parse_args(argv)
+
+    if args.list:
+        for name, cfg in sorted(PRESETS.items()):
+            print(
+                f"{name:14s} family={cfg.family:8s} negatives={cfg.negatives} "
+                f"lr={cfg.learning_rate} wd={cfg.weight_decay} epochs={cfg.epochs}"
+            )
+        return 0
+    if not args.model:
+        ap.error("--model is required (or --list)")
+
+    overrides = {"seed": args.seed}
+    if args.epochs is not None:
+        overrides["epochs"] = args.epochs
+    if args.lr is not None:
+        overrides["learning_rate"] = args.lr
+    if args.weight_decay is not None:
+        overrides["weight_decay"] = args.weight_decay
+    if args.k is not None:
+        overrides["k"] = args.k
+    if args.no_epoch_metrics:
+        overrides["track_metrics"] = False
+
+    cfg = PRESETS[args.model].replace(**overrides)
+    result = run_experiment(cfg, data_path=args.data, verbose=not args.json)
+    if args.json:
+        print(
+            json.dumps(
+                {
+                    "model": result.model,
+                    "final": result.final_metrics(),
+                    "ranking": result.ranking,
+                    "examples_per_sec": result.examples_per_sec,
+                    "train_time_s": result.train_time_s,
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
