@@ -1,0 +1,23 @@
+from deeplearningrecommendationsystem_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    make_mesh,
+    data_sharding,
+    replicated,
+)
+from deeplearningrecommendationsystem_tpu.parallel.data import pad_and_shard
+from deeplearningrecommendationsystem_tpu.parallel.embedding import (
+    ShardedEmbedding,
+    sharded_gather,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "pad_and_shard",
+    "ShardedEmbedding",
+    "sharded_gather",
+]

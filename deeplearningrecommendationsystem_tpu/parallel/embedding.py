@@ -1,0 +1,82 @@
+"""Row-sharded embedding tables over the 'model' mesh axis.
+
+The reference keeps whole tables on one device (model/mf.py:16-17); at
+production vocab sizes a table outgrows one chip's HBM, so rows are sharded
+across the model axis and lookups become a collective (SURVEY.md §2.5).
+
+Design (shard_map, masked local gather + psum):
+  * each model-shard owns a contiguous row block [V / m, D];
+  * for a replicated id batch, every shard gathers the ids it owns (others
+    clamp to row 0 and contribute zeros via a mask);
+  * one ``psum`` over the model axis assembles the full [B, D] activation --
+    bandwidth B*D per step, rides ICI, and the same path is linear so the
+    cotangent flows back through psum -> masked scatter-add into local rows.
+
+This is numerically identical to a dense gather on the unsharded table (the
+single-chip fast path) -- proven by tests on the 8-device CPU mesh. The
+Pallas fused variant (ops/pallas) drops in behind the same API.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deeplearningrecommendationsystem_tpu.ops.linear import embedding_init
+from deeplearningrecommendationsystem_tpu.parallel.mesh import MODEL_AXIS
+
+
+def _local_gather(table_shard: jnp.ndarray, ids: jnp.ndarray, shard_rows: int):
+    """Gather rows this shard owns; zeros for the rest. Runs inside shard_map."""
+    shard_idx = jax.lax.axis_index(MODEL_AXIS)
+    lo = shard_idx * shard_rows
+    local = ids - lo
+    owned = (local >= 0) & (local < shard_rows)
+    local = jnp.clip(local, 0, shard_rows - 1)
+    out = table_shard[local] * owned[:, None].astype(table_shard.dtype)
+    return jax.lax.psum(out, MODEL_AXIS)
+
+
+def sharded_gather(table: jnp.ndarray, ids: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """[B] ids -> [B, D] rows from a table sharded P('model', None)."""
+    m = mesh.shape[MODEL_AXIS]
+    vocab = table.shape[0]
+    assert vocab % m == 0, f"vocab {vocab} not divisible by model axis {m}"
+    shard_rows = vocab // m
+    fn = jax.shard_map(
+        partial(_local_gather, shard_rows=shard_rows),
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P()),
+        out_specs=P(),
+    )
+    return fn(table, ids)
+
+
+@dataclasses.dataclass
+class ShardedEmbedding:
+    """An embedding table row-sharded over the mesh's model axis.
+
+    On a 1-sized model axis (or mesh=None) this degrades to a plain dense
+    gather -- the single-chip fast path.
+    """
+
+    vocab: int
+    dim: int
+    mesh: Mesh | None = None
+
+    def init(self, key: jax.Array) -> jnp.ndarray:
+        table = embedding_init(key, self.vocab, self.dim)
+        if self.mesh is not None and self.mesh.shape[MODEL_AXIS] > 1:
+            table = jax.device_put(
+                table, NamedSharding(self.mesh, P(MODEL_AXIS, None))
+            )
+        return table
+
+    def lookup(self, table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+        if self.mesh is None or self.mesh.shape[MODEL_AXIS] == 1:
+            return table[ids]
+        return sharded_gather(table, ids, self.mesh)
