@@ -16,6 +16,7 @@ import json
 
 from deeplearningrecommendationsystem_tpu.configs.presets import PRESETS
 from deeplearningrecommendationsystem_tpu.experiments import DEFAULT_DATA, run_experiment
+from deeplearningrecommendationsystem_tpu.runtime.cache import enable_compilation_cache
 
 
 def main(argv=None) -> int:
@@ -35,6 +36,8 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--json", action="store_true", help="emit a JSON summary")
     args = ap.parse_args(argv)
+
+    enable_compilation_cache()
 
     if args.list:
         for name, cfg in sorted(PRESETS.items()):

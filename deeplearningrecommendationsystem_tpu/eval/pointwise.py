@@ -54,8 +54,15 @@ def pointwise_metrics(
     probs: jnp.ndarray,
     weights: Optional[jnp.ndarray] = None,
     threshold: float = 0.5,
+    include_auc_raw: bool = True,
 ) -> Dict[str, jnp.ndarray]:
-    """accuracy / precision / recall / f1 / auc (reference def) / auc_raw."""
+    """accuracy / precision / recall / f1 / auc (reference def) / auc_raw.
+
+    ``include_auc_raw=False`` skips the sort-based true AUC -- the remaining
+    metrics are pure elementwise reductions, cheap enough to evaluate every
+    epoch inside a ``lax.scan`` (sorts in the scan body blow up TPU compile
+    time; the trainer computes auc_raw once on the final params instead).
+    """
     y = y_true.astype(jnp.float32).ravel()
     p = probs.astype(jnp.float32).ravel()
     w = jnp.ones_like(y) if weights is None else weights.astype(jnp.float32).ravel()
@@ -73,11 +80,13 @@ def pointwise_metrics(
     tnr = _safe_div(tn, tn + fp)
     auc_binarized = 0.5 * (recall + tnr)  # == roc_auc_score on binarized preds
 
-    return {
+    out = {
         "accuracy": accuracy,
         "precision": precision,
         "recall": recall,
         "f1": f1,
         "auc": auc_binarized,
-        "auc_raw": true_auc(y, p, w),
     }
+    if include_auc_raw:
+        out["auc_raw"] = true_auc(y, p, w)
+    return out

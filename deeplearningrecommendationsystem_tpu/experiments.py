@@ -89,13 +89,16 @@ class ExperimentResult:
     train_examples: int
     epochs: int
     train_time_s: float
+    extras: Dict[str, float] = dataclasses.field(default_factory=dict)
 
     @property
     def examples_per_sec(self) -> float:
         return self.train_examples * self.epochs / max(self.train_time_s, 1e-9)
 
     def final_metrics(self) -> Dict[str, float]:
-        return {k: float(v[-1]) for k, v in self.history.items()}
+        out = {k: float(v[-1]) for k, v in self.history.items()}
+        out.update(self.extras)
+        return out
 
 
 def _combined(split: Split, negatives: Split) -> Split:
@@ -256,6 +259,7 @@ def run_experiment(
         train_examples=train_examples,
         epochs=cfg.epochs,
         train_time_s=train_time,
+        extras=result.extras,
     )
     if verbose:
         from deeplearningrecommendationsystem_tpu.runtime.logging import print_report

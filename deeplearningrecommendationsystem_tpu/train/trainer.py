@@ -50,9 +50,14 @@ class TrainConfig:
 class TrainResult:
     params: Any
     history: Dict[str, jnp.ndarray]  # each entry [epochs]
+    extras: Dict[str, float] = dataclasses.field(default_factory=dict)
+    # extras holds final-params-only metrics (true AUC per split): the sort it
+    # needs is kept out of the epoch scan for TPU compile-time sanity.
 
     def last(self) -> Dict[str, float]:
-        return {k: float(v[-1]) for k, v in self.history.items()}
+        out = {k: float(v[-1]) for k, v in self.history.items()}
+        out.update(self.extras)
+        return out
 
 
 def _bce_with_logits(logits, labels, weights=None):
@@ -109,7 +114,9 @@ class Trainer:
         track = cfg.track_metrics
 
         def split_metrics(prefix, logits, labels, w):
-            m = pointwise_metrics(labels, jax.nn.sigmoid(logits), w)
+            m = pointwise_metrics(
+                labels, jax.nn.sigmoid(logits), w, include_auc_raw=False
+            )
             m = {f"{prefix}_{k}": v for k, v in m.items()}
             m[f"{prefix}_loss"] = _bce_with_logits(logits, labels, w)
             return m
@@ -142,4 +149,17 @@ class Trainer:
         (params, _), history = jax.lax.scan(
             epoch, (params, opt_state), None, length=cfg.epochs
         )
-        return TrainResult(params=params, history=history)
+
+        extras: Dict[str, float] = {}
+        if track:
+            from deeplearningrecommendationsystem_tpu.eval.pointwise import true_auc
+
+            for name, split in (("train", train), ("valid", valid), ("test", test)):
+                if split is None:
+                    continue
+                b, y = split
+                probs = jax.nn.sigmoid(self.model.apply(params, b))
+                extras[f"{name}_auc_raw"] = float(
+                    true_auc(y, probs, weights.get(name))
+                )
+        return TrainResult(params=params, history=history, extras=extras)

@@ -13,10 +13,12 @@ def run(name, ml100k, **overrides):
 
 
 def check_history(res, epochs):
-    for key in ("train_loss", "valid_auc", "test_auc", "train_auc_raw"):
+    for key in ("train_loss", "valid_auc", "test_auc"):
         assert key in res.history, key
         assert len(res.history[key]) == epochs
         assert np.isfinite(res.history[key]).all(), key
+    for key in ("train_auc_raw", "valid_auc_raw", "test_auc_raw"):
+        assert np.isfinite(res.extras[key]), key
 
 
 def test_mf_end_to_end_learns(ml100k):
@@ -24,7 +26,7 @@ def test_mf_end_to_end_learns(ml100k):
     check_history(res, 40)
     # full-batch MF learns fast: loss decreasing, train AUC well above chance
     assert res.history["train_loss"][-1] < res.history["train_loss"][0]
-    assert res.history["train_auc_raw"][-1] > 0.75
+    assert res.extras["train_auc_raw"] > 0.75
     for split in ("valid", "test"):
         r = res.ranking[split]
         assert 0 < r["recall"] <= 1
