@@ -51,6 +51,7 @@ class TrainResult:
     params: Any
     history: Dict[str, jnp.ndarray]  # each entry [epochs]
     extras: Dict[str, float] = dataclasses.field(default_factory=dict)
+    opt_state: Any = None  # final optimizer state, for checkpoint/resume
     # extras holds final-params-only metrics (true AUC per split): the sort it
     # needs is kept out of the epoch scan for TPU compile-time sanity.
 
@@ -98,17 +99,21 @@ class Trainer:
         test: Optional[Tuple[Batch, jnp.ndarray]] = None,
         weights: Optional[Dict[str, jnp.ndarray]] = None,
         params: Any = None,
+        opt_state: Any = None,
     ) -> TrainResult:
         """Train for ``config.epochs`` full-batch epochs.
 
         ``weights`` maps split name ('train'/'valid'/'test') to a mask array
         for the AutoRec masked-matrix mode; None = all samples count.
+        ``params``/``opt_state`` resume from a checkpoint (both restored =
+        deterministic continuation with intact Adam moments).
         """
         cfg = self.config
         weights = weights or {}
         if params is None:
             params = self.model.init(rng)
-        opt_state = self.tx.init(params)
+        if opt_state is None:
+            opt_state = self.tx.init(params)
 
         train_batch, train_y = train
         track = cfg.track_metrics
@@ -146,7 +151,7 @@ class Trainer:
 
         # lax.scan compiles the epoch body once; the whole multi-epoch run is
         # a single device program with no per-epoch host dispatch.
-        (params, _), history = jax.lax.scan(
+        (params, opt_state), history = jax.lax.scan(
             epoch, (params, opt_state), None, length=cfg.epochs
         )
 
@@ -162,4 +167,6 @@ class Trainer:
                 extras[f"{name}_auc_raw"] = float(
                     true_auc(y, probs, weights.get(name))
                 )
-        return TrainResult(params=params, history=history, extras=extras)
+        return TrainResult(
+            params=params, history=history, extras=extras, opt_state=opt_state
+        )
