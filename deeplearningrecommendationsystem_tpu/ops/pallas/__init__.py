@@ -1,0 +1,20 @@
+"""Pallas TPU kernels for the hot ops.
+
+Each kernel has an XLA-equivalent reference implementation in ops/ used for
+correctness tests (interpret mode on CPU) and as the automatic fallback on
+non-TPU backends. Benchmarks: tools/bench_kernels.py.
+"""
+
+from deeplearningrecommendationsystem_tpu.ops.pallas.din_attention import (
+    din_attention_pool_pallas,
+)
+from deeplearningrecommendationsystem_tpu.ops.pallas.afm_attention import (
+    afm_attention_pool_pallas,
+)
+from deeplearningrecommendationsystem_tpu.ops.pallas.gather import gather_rows_pallas
+
+__all__ = [
+    "din_attention_pool_pallas",
+    "afm_attention_pool_pallas",
+    "gather_rows_pallas",
+]

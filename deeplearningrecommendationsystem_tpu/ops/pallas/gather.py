@@ -1,0 +1,77 @@
+"""Embedding row gather with scalar-prefetched ids + double-buffered DMA.
+
+The lookup path of a (row-sharded) embedding table: ids are prefetched into
+SMEM before the kernel body runs (PrefetchScalarGridSpec), the table stays in
+HBM/ANY, and rows stream into the VMEM output block with two DMAs in flight.
+On ml-100k tables XLA's gather is already fine; this kernel is the building
+block for the large-vocab EP path where gather locality and DMA pipelining
+dominate (SURVEY.md §7 'hard parts').
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(ids_ref, table_ref, out_ref, sems):
+    block = pl.program_id(0)
+    TB = out_ref.shape[0]
+    base = block * TB
+    n_buf = 2
+
+    def get_dma(slot, r):
+        return pltpu.make_async_copy(
+            table_ref.at[ids_ref[base + r]],
+            out_ref.at[r],
+            sems.at[slot],
+        )
+
+    get_dma(0, 0).start()
+
+    def body(r, _):
+        slot = r % n_buf
+
+        @pl.when(r + 1 < TB)
+        def _():
+            get_dma((r + 1) % n_buf, r + 1).start()
+
+        get_dma(slot, r).wait()
+        return 0
+
+    jax.lax.fori_loop(0, TB, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def gather_rows_pallas(
+    table: jnp.ndarray,  # [V, D]
+    ids: jnp.ndarray,  # [B] int32
+    block_rows: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B = ids.shape[0]
+    D = table.shape[1]
+    B_pad = ((B + block_rows - 1) // block_rows) * block_rows
+    if B_pad != B:
+        ids = jnp.concatenate([ids, jnp.zeros((B_pad - B,), ids.dtype)], axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B_pad // block_rows,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (block_rows, D), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
+    )
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((B_pad, D), table.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ids.astype(jnp.int32), table)
+    return out[:B]

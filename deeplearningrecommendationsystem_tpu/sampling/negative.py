@@ -53,7 +53,12 @@ def negative_sample(
     r = jnp.floor(u01 * jnp.maximum(counts, 1)[:, None]).astype(jnp.int32)
     r = jnp.minimum(r, jnp.maximum(counts - 1, 0)[:, None])
 
-    items = jax.vmap(lambda c, rr: jnp.searchsorted(c, rr, side="right"))(cdf, r)
+    # searchsorted(side='right') == count of cdf entries <= r. The broadcast
+    # compare-and-sum compiles to trivial fused ops (the default scan-based
+    # searchsorted lowering costs minutes on the remote-compile path).
+    items = jax.vmap(
+        lambda c, rr: jnp.searchsorted(c, rr, side="right", method="compare_all")
+    )(cdf, r)
     users = jnp.broadcast_to(
         jnp.arange(num_users, dtype=jnp.int32)[:, None], (num_users, num_negatives)
     )
