@@ -2,10 +2,16 @@
 
 The XLA path (ops/attention.py) materializes [B, L, 3D] concat features and
 two [B, L, H] MLP activations in HBM between matmuls; at catalog-serving
-batch sizes (B = users x items ~ 1.6M rows) that's gigabytes of HBM traffic.
-This kernel tiles over rows and keeps every intermediate in VMEM: one HBM
-read of the tile's history/target embeddings, one write of the pooled [TB, D]
-output.
+batch sizes (B = users x items ~ 1.6M rows) that's ~2 GB of HBM traffic per
+pass where the fused kernel moves only inputs + pooled output (~0.3 GB).
+This kernel tiles over rows and keeps every intermediate in VMEM.
+
+Layout notes (why the kernel is written per-position):
+* slicing position l gives clean [TB, D] tiles; reshaping [TB, L, D] ->
+  [TB*L, D] inside the kernel forces Mosaic relayouts that cost more than the
+  matmuls themselves (measured 14x slower than XLA);
+* per-position scores are staged into columns of a [TB, 16] VMEM scratch so
+  the softmax reduces across lanes, not across a 10-wide trailing dim.
 
 Math identities exploited:
 * the first attention layer over concat([h, h - t, t]) @ W1 decomposes as
@@ -26,30 +32,40 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_SCORE_COLS = 16  # scores scratch lane count (>= L, multiple of 8)
 
-def _kernel(hist_ref, tgt_ref, wh_ref, wt_ref, b1_ref, w2_ref, b2_ref, w3_ref, out_ref):
+
+def _kernel(hist_ref, tgt_ref, wh_ref, wt_ref, b1_ref, w2_ref, b2_ref, w3_ref, out_ref, s_ref):
     TB, L, D = hist_ref.shape
-    hist = hist_ref[:]  # [TB, L, D]
-    tgt = tgt_ref[:]  # [TB, D]
+    # target contribution + layer-1 bias, once per row
+    t1 = (
+        jnp.dot(tgt_ref[:], wt_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[0][None, :]
+    )  # [TB, H1]
 
-    hist2d = hist.reshape(TB * L, D)
-    # layer 1: fused concat-decomposition, target term broadcast over L
-    x1 = jnp.dot(hist2d, wh_ref[:], preferred_element_type=jnp.float32)
-    t1 = jnp.dot(tgt, wt_ref[:], preferred_element_type=jnp.float32)  # [TB, H1]
-    x1 = x1.reshape(TB, L, -1) + t1[:, None, :] + b1_ref[0][None, None, :]
-    x1 = jnp.maximum(x1, 0.0)
-    H1 = x1.shape[-1]
-    # layer 2
-    x2 = jnp.dot(x1.reshape(TB * L, H1), w2_ref[:], preferred_element_type=jnp.float32)
-    x2 = jnp.maximum(x2 + b2_ref[0][None, :], 0.0)  # [TB*L, H2]
-    # layer 3 -> scores [TB, L] (bias dropped: softmax-invariant)
-    s = jnp.dot(x2, w3_ref[:], preferred_element_type=jnp.float32)
-    s = s.reshape(TB, L)
-    # softmax over L + weighted pool (L is tiny: VPU elementwise + reduce)
+    for l in range(L):  # static unroll over history positions
+        h_l = hist_ref[:, l, :]  # [TB, D]
+        x1 = jnp.maximum(
+            jnp.dot(h_l, wh_ref[:], preferred_element_type=jnp.float32) + t1, 0.0
+        )
+        x2 = jnp.maximum(
+            jnp.dot(x1, w2_ref[:], preferred_element_type=jnp.float32)
+            + b2_ref[0][None, :],
+            0.0,
+        )
+        s_ref[:, l : l + 1] = jnp.dot(x2, w3_ref[:], preferred_element_type=jnp.float32)
+
+    # softmax over the L used columns of the [TB, 16] scratch
+    col = jax.lax.broadcasted_iota(jnp.int32, (TB, _SCORE_COLS), 1)
+    s = jnp.where(col < L, s_ref[:], -1e30)
     s = s - jnp.max(s, axis=1, keepdims=True)
     w = jnp.exp(s)
     w = w / jnp.sum(w, axis=1, keepdims=True)
-    out_ref[:] = jnp.sum(w[:, :, None] * hist, axis=1)
+
+    acc = w[:, 0:1] * hist_ref[:, 0, :]
+    for l in range(1, L):
+        acc = acc + w[:, l : l + 1] * hist_ref[:, l, :]
+    out_ref[:] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
@@ -57,10 +73,11 @@ def din_attention_pool_pallas(
     hist_embed: jnp.ndarray,  # [B, L, D]
     target_embed: jnp.ndarray,  # [B, D]
     att_mlp: List[dict],  # 3 linear layers: 3D->H1->H2->1
-    block_rows: int = 256,
+    block_rows: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, L, D = hist_embed.shape
+    assert L <= _SCORE_COLS, f"history length {L} > score scratch {_SCORE_COLS}"
     w1, w2, w3 = att_mlp[0]["w"], att_mlp[1]["w"], att_mlp[2]["w"]
     b1, b2 = att_mlp[0]["b"], att_mlp[1]["b"]
     assert w1.shape[0] == 3 * D, "attention layer 1 must take [h, h-t, t]"
@@ -100,6 +117,7 @@ def din_attention_pool_pallas(
         out_specs=pl.BlockSpec(
             (block_rows, D), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[pltpu.VMEM((block_rows, _SCORE_COLS), jnp.float32)],
         interpret=interpret,
     )(hist_embed, target_embed, wh, wt, b1, w2, b2, w3)
     return out[:B]

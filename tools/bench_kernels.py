@@ -1,0 +1,121 @@
+"""Microbenchmarks: Pallas kernels vs XLA reference implementations on TPU.
+
+Run:  python tools/bench_kernels.py
+Writes KERNEL_BENCH.json with per-kernel timings + speedups and a
+speed-of-light estimate (HBM-bandwidth bound) per kernel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from deeplearningrecommendationsystem_tpu.runtime.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from deeplearningrecommendationsystem_tpu.ops.attention import (  # noqa: E402
+    afm_attention,
+    attention_pool,
+)
+from deeplearningrecommendationsystem_tpu.ops.interactions import pairwise_products  # noqa: E402
+from deeplearningrecommendationsystem_tpu.ops.linear import mlp_init  # noqa: E402
+from deeplearningrecommendationsystem_tpu.ops.pallas import (  # noqa: E402
+    afm_attention_pool_pallas,
+    din_attention_pool_pallas,
+    gather_rows_pallas,
+)
+
+# v5e: ~819 GB/s HBM bandwidth
+HBM_GBPS = 819.0
+
+
+def timeit(fn, *args, iters=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    results = {}
+    key = jax.random.PRNGKey(0)
+
+    # --- DIN attention: serving-shaped batch (user-tile x catalog) ---
+    B, L, D = 64 * 1682, 10, 64
+    k1, k2, k3 = jax.random.split(key, 3)
+    hist = jax.random.normal(k1, (B, L, D))
+    tgt = jax.random.normal(k2, (B, D))
+    att = mlp_init(k3, (3 * D, 128, 64, 1))
+
+    xla = jax.jit(lambda h, t: attention_pool(att, h, t))
+    pal = jax.jit(lambda h, t: din_attention_pool_pallas(h, t, att, block_rows=256))
+    t_x = timeit(xla, hist, tgt)
+    t_p = timeit(pal, hist, tgt)
+    bytes_min = hist.nbytes + tgt.nbytes + B * D * 4  # read inputs, write pooled
+    results["din_attention"] = {
+        "shape": [B, L, D],
+        "xla_ms": t_x * 1e3,
+        "pallas_ms": t_p * 1e3,
+        "speedup": t_x / t_p,
+        "sol_ms_hbm_bound": bytes_min / (HBM_GBPS * 1e9) * 1e3,
+        "pallas_pct_of_sol": (bytes_min / (HBM_GBPS * 1e9)) / t_p * 100,
+    }
+
+    # --- AFM attention: training-shaped batch ---
+    B, F, Dm, A = 87909, 6, 128, 64
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    fields = jax.random.normal(k1, (B, F, Dm))
+    w = jax.random.normal(k2, (Dm, A))
+    b = jax.random.normal(k3, (A,))
+    h = jax.random.normal(k4, (A, 1))
+
+    xla = jax.jit(lambda e: afm_attention(w, b, h, pairwise_products(e)))
+    pal = jax.jit(lambda e: afm_attention_pool_pallas(e, w, b, h, block_rows=256))
+    t_x = timeit(xla, fields)
+    t_p = timeit(pal, fields)
+    bytes_min = fields.nbytes + B * Dm * 4
+    results["afm_attention"] = {
+        "shape": [B, F, Dm],
+        "xla_ms": t_x * 1e3,
+        "pallas_ms": t_p * 1e3,
+        "speedup": t_x / t_p,
+        "sol_ms_hbm_bound": bytes_min / (HBM_GBPS * 1e9) * 1e3,
+        "pallas_pct_of_sol": (bytes_min / (HBM_GBPS * 1e9)) / t_p * 100,
+    }
+
+    # --- gather: big-vocab lookup ---
+    V, Dg, Bg = 262144, 128, 131072
+    table = jax.random.normal(key, (V, Dg))
+    ids = jax.random.randint(key, (Bg,), 0, V, dtype=jnp.int32)
+    xla = jax.jit(lambda t, i: t[i])
+    pal = jax.jit(lambda t, i: gather_rows_pallas(t, i, block_rows=1024))
+    t_x = timeit(xla, table, ids)
+    t_p = timeit(pal, table, ids)
+    bytes_min = Bg * Dg * 4 * 2  # read + write each row
+    results["gather"] = {
+        "shape": [V, Dg, Bg],
+        "xla_ms": t_x * 1e3,
+        "pallas_ms": t_p * 1e3,
+        "speedup": t_x / t_p,
+        "sol_ms_hbm_bound": bytes_min / (HBM_GBPS * 1e9) * 1e3,
+        "pallas_pct_of_sol": (bytes_min / (HBM_GBPS * 1e9)) / t_p * 100,
+    }
+
+    print(json.dumps(results, indent=2))
+    with open("KERNEL_BENCH.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
