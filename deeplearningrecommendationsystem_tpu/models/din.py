@@ -31,6 +31,9 @@ class DIN:
     attention_units: Tuple[int, ...] = (128, 64, 1)
     fc_units: Tuple[int, ...] = (256, 128, 1)
     mask_padding: bool = False
+    # serve with the fused Pallas attention kernel (forward-only; training
+    # keeps the differentiable XLA path)
+    pallas_serving: bool = False
 
     def init(self, key: jax.Array) -> dict:
         ke, ka, kf = jax.random.split(key, 3)
@@ -40,7 +43,7 @@ class DIN:
             "fc": mlp_init(kf, (2 * self.embed_size,) + tuple(self.fc_units)),
         }
 
-    def apply(self, params: dict, batch) -> jnp.ndarray:
+    def _apply(self, params: dict, batch, use_pallas: bool) -> jnp.ndarray:
         hist, target = batch  # [B, L] int, [B] int
         hist_e = params["item"][hist]  # [B, L, D]
         target_e = params["item"][target]  # [B, D]
@@ -51,12 +54,25 @@ class DIN:
             # prefix (cummax flips to 1 at the first nonzero).
             nonzero = (hist != 0).astype(jnp.int32)
             mask = jax.lax.cummax(nonzero, axis=1) > 0
-        pooled = attention_pool(params["att"], hist_e, target_e, mask)
+        if use_pallas and mask is None:
+            from deeplearningrecommendationsystem_tpu.ops.pallas import (
+                din_attention_pool_pallas,
+            )
+
+            pooled = din_attention_pool_pallas(hist_e, target_e, params["att"])
+        else:
+            pooled = attention_pool(params["att"], hist_e, target_e, mask)
         x = jnp.concatenate([pooled, target_e], axis=-1)
         return mlp(params["fc"], x)[:, 0]
 
+    def apply(self, params: dict, batch) -> jnp.ndarray:
+        return self._apply(params, batch, use_pallas=False)
+
     def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
         assert ctx.history is not None, "DIN serving needs ctx.history"
-        return catalog_scores_from_history(
-            self.apply, params, ctx.history, self.num_items
+        fn = (
+            (lambda p, b: self._apply(p, b, use_pallas=True))
+            if self.pallas_serving
+            else self.apply
         )
+        return catalog_scores_from_history(fn, params, ctx.history, self.num_items)
