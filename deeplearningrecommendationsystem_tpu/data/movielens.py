@@ -42,14 +42,69 @@ def _minmax(x: np.ndarray) -> np.ndarray:
 class MovieLens100K:
     """Loads ml-100k and exposes splits, feature blocks and masks as arrays."""
 
-    def __init__(self, dataset_path: str, seed: Optional[int] = 0):
+    def __init__(self, dataset_path: str, seed: Optional[int] = 0, use_native: bool = True):
         self.path = dataset_path
         rng = np.random.default_rng(seed)
 
+        native_ok = False
+        if use_native:
+            native_ok = self._load_native(dataset_path)
+        if not native_ok:
+            self._load_numpy(dataset_path)
+
+        self.spec = FeatureSpec(
+            num_users=self.num_users,
+            num_items=self.num_items,
+            num_genders=len(self.gender_categories),
+            num_occupations=len(self.occupation_categories),
+            num_genres=self.item_features.shape[1],
+        )
+
+        # ---- implicit feedback + per-user 60/20/20 split ----
+        ratings = np.ones(len(self._users), dtype=np.float32)
+        self.data: Split = {"user": self._users, "item": self._items, "rating": ratings}
+        self.train, self.valid, self.test = self._split_per_user(rng)
+
+    # ------------------------------------------------------------------
+    def _load_native(self, dataset_path: str) -> bool:
+        """Parse with the C++ loader (native/ml100k_parser.cc); False on any
+        failure so the NumPy path takes over. Output is bit-identical to the
+        NumPy path (tests/test_native.py)."""
+        from deeplearningrecommendationsystem_tpu.data import native
+
+        ud = native.parse_u_data(os.path.join(dataset_path, "u.data"))
+        uu = native.parse_u_user(os.path.join(dataset_path, "u.user"))
+        ui = native.parse_u_item(os.path.join(dataset_path, "u.item"))
+        if ud is None or uu is None or ui is None:
+            return False
+        users, items, _ = ud
+        self._users, self._items = users, items
+        self.num_users = int(len(np.unique(users)))
+        self.num_items = int(len(np.unique(items)))
+
+        ids, ages, gidx, oidx, occ_cats = uu
+        order = np.argsort(ids)
+        ages, gidx, oidx = ages[order], gidx[order], oidx[order]
+        self.occupation_categories = occ_cats
+        self.gender_categories = ["F", "M"][: int(gidx.max()) + 1]
+        n_users = len(ids)
+        gender_oh = np.zeros((n_users, len(self.gender_categories)), dtype=np.float32)
+        gender_oh[np.arange(n_users), gidx] = 1.0
+        occ_oh = np.zeros((n_users, len(occ_cats)), dtype=np.float32)
+        occ_oh[np.arange(n_users), oidx] = 1.0
+        age_norm = _minmax(ages.astype(np.float64)).astype(np.float32)[:, None]
+        self.user_features = np.concatenate([age_norm, gender_oh, occ_oh], axis=1)
+
+        iids, genres = ui
+        self.item_features = genres[np.argsort(iids)]
+        return True
+
+    def _load_numpy(self, dataset_path: str) -> None:
         # ---- interactions (u.data: user \t item \t rating \t ts) ----
         raw = np.loadtxt(os.path.join(dataset_path, "u.data"), dtype=np.int64)
         users = raw[:, 0].astype(np.int32) - 1  # 0-base ids
         items = raw[:, 1].astype(np.int32) - 1
+        self._users, self._items = users, items
         self.num_users = int(len(np.unique(users)))
         self.num_items = int(len(np.unique(items)))
 
@@ -86,19 +141,6 @@ class MovieLens100K:
         genres = np.array([[float(v) for v in r[5:24]] for r in irows], dtype=np.float32)
         iorder = np.argsort(iid)
         self.item_features = genres[iorder]  # [I, 19]
-
-        self.spec = FeatureSpec(
-            num_users=self.num_users,
-            num_items=self.num_items,
-            num_genders=len(self.gender_categories),
-            num_occupations=len(self.occupation_categories),
-            num_genres=self.item_features.shape[1],
-        )
-
-        # ---- implicit feedback + per-user 60/20/20 split ----
-        ratings = np.ones(len(users), dtype=np.float32)
-        self.data: Split = {"user": users, "item": items, "rating": ratings}
-        self.train, self.valid, self.test = self._split_per_user(rng)
 
     # ------------------------------------------------------------------
     def _split_per_user(self, rng: np.random.Generator):
