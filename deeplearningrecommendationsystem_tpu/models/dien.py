@@ -59,3 +59,24 @@ class DIEN:
         return catalog_scores_from_history(
             self.apply, params, ctx.history, self.num_items, tile=8
         )
+
+    def auxiliary_loss(
+        self, params: dict, hist: jnp.ndarray, neg_hist: jnp.ndarray
+    ) -> jnp.ndarray:
+        """DIEN paper's auxiliary loss (extension -- absent in the reference,
+        SURVEY.md #13): per step t, the interest state h_t should score the
+        user's actual next behavior e_{t+1} above a sampled negative.
+
+        L_aux = -mean[ log sigmoid(<h_t, e_{t+1}>) + log sigmoid(-<h_t, n_{t+1}>) ]
+
+        hist / neg_hist: [B, L] item ids (neg_hist = sampled non-clicked items).
+        """
+        hist_e = params["item"][hist]  # [B, L, D]
+        neg_e = params["item"][neg_hist]  # [B, L, D]
+        states = gru(params["gru"], hist_e, return_sequence=True)  # [B, L, H]
+        h_t = states[:, :-1, :]  # predicts step t+1
+        pos = jnp.sum(h_t * hist_e[:, 1:, :], axis=-1)
+        neg = jnp.sum(h_t * neg_e[:, 1:, :], axis=-1)
+        return -jnp.mean(
+            jax.nn.log_sigmoid(pos) + jax.nn.log_sigmoid(-neg)
+        )

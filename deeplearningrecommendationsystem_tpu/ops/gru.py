@@ -46,8 +46,17 @@ def _gates(p: dict, x_t: jnp.ndarray, h: jnp.ndarray):
     return z, n
 
 
-def gru(p: dict, xs: jnp.ndarray, h0: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Run a GRU over [B, L, D]; returns final hidden state [B, H]."""
+def gru(
+    p: dict,
+    xs: jnp.ndarray,
+    h0: Optional[jnp.ndarray] = None,
+    return_sequence: bool = False,
+):
+    """Run a GRU over [B, L, D].
+
+    Returns the final hidden state [B, H], or all per-step states [B, L, H]
+    when ``return_sequence`` (needed by DIEN's auxiliary loss).
+    """
     B = xs.shape[0]
     H = p["w_hh"].shape[0]
     if h0 is None:
@@ -56,9 +65,11 @@ def gru(p: dict, xs: jnp.ndarray, h0: Optional[jnp.ndarray] = None) -> jnp.ndarr
     def step(h, x_t):
         z, n = _gates(p, x_t, h)
         h_new = (1.0 - z) * n + z * h
-        return h_new, None
+        return h_new, h_new if return_sequence else None
 
-    h_final, _ = jax.lax.scan(step, h0, jnp.swapaxes(xs, 0, 1))
+    h_final, seq = jax.lax.scan(step, h0, jnp.swapaxes(xs, 0, 1))
+    if return_sequence:
+        return jnp.swapaxes(seq, 0, 1)  # [B, L, H]
     return h_final
 
 

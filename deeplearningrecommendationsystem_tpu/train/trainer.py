@@ -44,6 +44,19 @@ class TrainConfig:
     weight_decay: float = 0.0
     epochs: int = 100
     track_metrics: bool = True  # per-epoch train/valid/test metrics (parity mode)
+    # mixed precision: cast float params + batch to this dtype for the
+    # forward/backward pass (f32 master weights, f32 loss); 'bfloat16' puts
+    # the matmuls on the MXU's fast path. None = pure f32 (parity mode).
+    compute_dtype: Optional[str] = None
+
+
+def _cast_floats(tree, dtype):
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, tree)
 
 
 @dataclasses.dataclass
@@ -79,7 +92,13 @@ class Trainer:
 
     # -- single step (also used by benchmarks and the sharded path) --------
     def loss_fn(self, params, batch: Batch, labels, weights=None):
-        logits = self.model.apply(params, batch)
+        dt = self.config.compute_dtype
+        if dt:
+            logits = self.model.apply(
+                _cast_floats(params, dt), _cast_floats(batch, dt)
+            ).astype(jnp.float32)
+        else:
+            logits = self.model.apply(params, batch)
         return _bce_with_logits(logits, labels, weights), logits
 
     def train_step(self, params, opt_state, batch: Batch, labels, weights=None):
