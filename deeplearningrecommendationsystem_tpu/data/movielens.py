@@ -180,6 +180,29 @@ class MovieLens100K:
             axis=1,
         )
 
+    def cross_features(self, users: Optional[np.ndarray] = None) -> np.ndarray:
+        """[len(users) * num_items, 45] feature rows for every (user, item)
+        pair -- the reference's ``user_item()`` cross join (data/reader.py:104-112).
+
+        Serving normally never materializes this (the catalog scorer builds
+        tiles on device, models/base.py); this host-side variant exists for
+        API completeness and offline export.
+        """
+        if users is None:
+            users = np.arange(self.num_users, dtype=np.int32)
+        I = self.num_items
+        u = np.repeat(users.astype(np.int32), I)
+        i = np.tile(np.arange(I, dtype=np.int32), len(users))
+        return np.concatenate(
+            [
+                u.astype(np.float32)[:, None],
+                i.astype(np.float32)[:, None],
+                self.user_features[u],
+                self.item_features[i],
+            ],
+            axis=1,
+        )
+
     def seen_mask(self, *splits: Split) -> np.ndarray:
         """Boolean [U, I]: True where (u, i) appears in any given split."""
         mask = np.zeros((self.num_users, self.num_items), dtype=bool)

@@ -89,3 +89,10 @@ def test_rating_matrix(ml100k):
     assert (m[pos["user"], pos["item"]] == 1.0).all()
     vals = np.unique(m)
     assert set(vals.tolist()) <= {0.0, 0.5, 1.0}
+
+
+def test_cross_features(ml100k):
+    X = ml100k.cross_features(np.array([3, 5]))
+    assert X.shape == (2 * 1682, 45)
+    assert (X[:1682, 0] == 3).all() and (X[1682:, 0] == 5).all()
+    assert (X[:1682, 1] == np.arange(1682)).all()
