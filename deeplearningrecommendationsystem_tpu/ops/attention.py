@@ -26,10 +26,25 @@ def din_attention_weights(
     target_embed: jnp.ndarray,  # [B, D]
     mask: Optional[jnp.ndarray] = None,  # [B, L] bool, True = valid
 ) -> jnp.ndarray:
-    """Softmax attention weights [B, L] from the activation-unit MLP."""
-    target = jnp.broadcast_to(target_embed[:, None, :], hist_embed.shape)
-    feats = jnp.concatenate([hist_embed, hist_embed - target, target], axis=-1)
-    scores = mlp(att_mlp, feats)[..., 0]  # [B, L]
+    """Softmax attention weights [B, L] from the activation-unit MLP.
+
+    The first layer over concat([h, h - t, t]) is algebraically decomposed:
+    splitting W1 into its three D-row blocks,
+        concat @ W1 = h @ (W1_a + W1_b) + t @ (W1_c - W1_b),
+    so the [B, L, 3D] concat tensor is never materialized and the target term
+    is one [B, D] matmul broadcast over L (same identity as the Pallas
+    kernel, ops/pallas/din_attention.py). Numerically identical to the
+    literal concat formulation.
+    """
+    D = hist_embed.shape[-1]
+    w1, b1 = att_mlp[0]["w"], att_mlp[0].get("b")
+    assert w1.shape[0] == 3 * D, "attention layer 1 must take [h, h-t, t]"
+    wh = w1[:D] + w1[D : 2 * D]
+    wt = w1[2 * D :] - w1[D : 2 * D]
+    x1 = hist_embed @ wh + (target_embed @ wt)[:, None, :]
+    if b1 is not None:
+        x1 = x1 + b1
+    scores = mlp(att_mlp[1:], jax.nn.relu(x1))[..., 0]  # [B, L]
     if mask is not None:
         scores = jnp.where(mask, scores, -1e9)
     return jax.nn.softmax(scores, axis=-1)

@@ -52,3 +52,24 @@ def test_gather_kernel_matches_take():
     want = table[ids]
     got = gather_rows_pallas(table, ids, block_rows=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_decomposed_din_attention_equals_literal_concat():
+    """ops/attention.py's decomposition == the literal [h, h-t, t] concat MLP."""
+    from deeplearningrecommendationsystem_tpu.ops.linear import mlp
+
+    rng = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    B, L, D = 17, 10, 32
+    hist = jax.random.normal(k1, (B, L, D))
+    tgt = jax.random.normal(k2, (B, D))
+    att = mlp_init(k3, (3 * D, 64, 32, 1))
+
+    target = jnp.broadcast_to(tgt[:, None, :], hist.shape)
+    feats = jnp.concatenate([hist, hist - target, target], axis=-1)
+    want = jax.nn.softmax(mlp(att, feats)[..., 0], axis=-1)
+
+    from deeplearningrecommendationsystem_tpu.ops.attention import din_attention_weights
+
+    got = din_attention_weights(att, hist, tgt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
