@@ -35,6 +35,10 @@ def main(argv=None) -> int:
         help="skip per-epoch metric tracking (fastest pure-training mode)",
     )
     ap.add_argument("--json", action="store_true", help="emit a JSON summary")
+    ap.add_argument("--profile", metavar="DIR", help="capture a jax.profiler trace to DIR")
+    ap.add_argument(
+        "--debug-nans", action="store_true", help="fail fast on NaNs (numerical sanitizer)"
+    )
     args = ap.parse_args(argv)
 
     enable_compilation_cache()
@@ -62,7 +66,18 @@ def main(argv=None) -> int:
         overrides["track_metrics"] = False
 
     cfg = PRESETS[args.model].replace(**overrides)
-    result = run_experiment(cfg, data_path=args.data, verbose=not args.json)
+
+    import contextlib
+
+    from deeplearningrecommendationsystem_tpu.runtime.profiler import debug_nans, trace
+
+    stack = contextlib.ExitStack()
+    if args.debug_nans:
+        stack.enter_context(debug_nans(True))
+    if args.profile:
+        stack.enter_context(trace(args.profile))
+    with stack:
+        result = run_experiment(cfg, data_path=args.data, verbose=not args.json)
     if args.json:
         print(
             json.dumps(

@@ -1,0 +1,22 @@
+"""CLI smoke: --list and a tiny end-to-end run with JSON output."""
+
+import json
+
+from deeplearningrecommendationsystem_tpu.cli.run import main
+
+
+def test_list(capsys):
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out
+    for name in ("mf", "deepfm", "din", "autorec"):
+        assert name in out
+
+
+def test_tiny_run_json(capsys):
+    assert main(["--model", "mf", "--epochs", "2", "--json", "--seed", "1"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(out)
+    assert payload["model"] == "mf"
+    assert "test_auc" in payload["final"]
+    assert "test" in payload["ranking"]
+    assert payload["examples_per_sec"] > 0
