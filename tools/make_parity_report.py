@@ -1,0 +1,65 @@
+"""Generate PARITY.md from PARITY.json (+ REFERENCE_QUALITY.json if present)."""
+
+from __future__ import annotations
+
+import json
+
+ORDER = [
+    "lr", "mf", "neuralcf", "ffm", "widedeep", "deepfm", "nfm", "afm", "pnn",
+    "deepcross", "deepcrossing", "autorec", "i-autorec", "din", "dien",
+]
+
+
+def main():
+    ours = json.load(open("PARITY.json"))
+    try:
+        ref = json.load(open("REFERENCE_QUALITY.json"))
+    except FileNotFoundError:
+        ref = {}
+
+    lines = [
+        "# Quality parity report",
+        "",
+        "Final-epoch test metrics per model at the reference's own hyperparameters",
+        "(configs/presets.py == SURVEY.md §2.4). `auc` = the reference's",
+        "binarized-prediction definition; `auc_raw` = true ranking AUC on scores;",
+        "ranking metrics are quirk-faithful (`reference_mode=True`). Reference",
+        "columns (where measured by tools/run_reference_quality.py, full training",
+        "of the actual PyTorch code) are shown for direct comparison; both sides",
+        "are single runs with random sampling, so small deltas are run-to-run",
+        "variance.",
+        "",
+        "| Model | test auc | test auc_raw | R@50 | NDCG@50 | MRR | ref auc_raw | ref R@50 | ref NDCG@50 |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for name in ORDER:
+        if name not in ours:
+            continue
+        v = ours[name]
+        if "error" in v:
+            lines.append(f"| {name} | run failed | | | | | | | |")
+            continue
+        f, r = v["final"], v["ranking"]["test"]
+        rq = ref.get(name, {})
+        rf = rq.get("final", {})
+        rr = rq.get("ranking", {}).get("test", {})
+        fmt = lambda x: f"{x:.3f}" if isinstance(x, (int, float)) else "—"
+        lines.append(
+            f"| {name} | {fmt(f.get('test_auc'))} | {fmt(f.get('test_auc_raw'))} | "
+            f"{fmt(r.get('recall'))} | {fmt(r.get('ndcg'))} | {fmt(r.get('mrr'))} | "
+            f"{fmt(rf.get('test_auc_raw'))} | {fmt(rr.get('recall'))} | {fmt(rr.get('ndcg'))} |"
+        )
+    lines += [
+        "",
+        "Campaign runner: `tools/run_parity.py` (full preset epochs on TPU).",
+        "Reference quality: `tools/run_reference_quality.py` (full training of the",
+        "reference's own modules on CPU).",
+        "",
+    ]
+    with open("PARITY.md", "w") as fh:
+        fh.write("\n".join(lines))
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
