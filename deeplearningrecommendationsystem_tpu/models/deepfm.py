@@ -37,13 +37,18 @@ class DeepFM:
     spec: FeatureSpec = ML100K_SPEC
     hidden_units: Tuple[int, ...] = (512, 256, 128, 1)
     embedding_dim: int = 128
+    robust_init: bool = False  # see models/widedeep.py: revive-at-init for the
+    # ReLU-terminated deep tower (parity mode keeps the faithful fragile init)
 
     def init(self, key: jax.Array) -> dict:
         ks = jax.random.split(key, 5)
+        deep = mlp_init(ks[2], self.hidden_units)
+        if self.robust_init:
+            deep[-1]["b"] = jnp.full_like(deep[-1]["b"], 0.1)
         return {
             "tables": init_field_tables(ks[0], self.spec, self.embedding_dim, FIELDS),
             "deep_in": linear_init(ks[1], 6 * self.embedding_dim, self.hidden_units[0]),
-            "deep": mlp_init(ks[2], self.hidden_units),
+            "deep": deep,
             "fm_linear": linear_part_init(ks[3], self.spec),
             "out": linear_init(ks[4], 2, 1),
         }

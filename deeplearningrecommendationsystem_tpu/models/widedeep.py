@@ -35,14 +35,24 @@ class WideDeep:
     spec: FeatureSpec = ML100K_SPEC
     hidden_units: Tuple[int, ...] = (512, 256, 128, 1)
     embedding_dim: int = 128
+    # The reference tower ends in ReLU(Linear(128, 1)): with full-batch
+    # training ~half of init seeds collapse the deep path permanently (the
+    # scalar pre-activation goes negative for every input and the gradient
+    # dies -- measured on both this implementation AND the torch reference).
+    # robust_init=True starts the final bias at +0.1 so the unit is born
+    # alive; parity mode keeps the faithful fragile init.
+    robust_init: bool = False
 
     def init(self, key: jax.Array) -> dict:
         ks = jax.random.split(key, 5)
         d_in = 5 * self.embedding_dim + 1
+        deep = mlp_init(ks[2], self.hidden_units)
+        if self.robust_init:
+            deep[-1]["b"] = jnp.full_like(deep[-1]["b"], 0.1)
         return {
             "tables": init_field_tables(ks[0], self.spec, self.embedding_dim),
             "deep_in": linear_init(ks[1], d_in, self.hidden_units[0]),
-            "deep": mlp_init(ks[2], self.hidden_units),
+            "deep": deep,
             "wide": linear_part_init(ks[3], self.spec),
             "out": linear_init(ks[4], 2, 1),
         }
