@@ -18,11 +18,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+N_INFLIGHT = 8  # row DMAs in flight; issue latency dominates a row gather
+
+
 def _kernel(ids_ref, table_ref, out_ref, sems):
     block = pl.program_id(0)
     TB = out_ref.shape[0]
     base = block * TB
-    n_buf = 2
 
     def get_dma(slot, r):
         return pltpu.make_async_copy(
@@ -31,16 +33,16 @@ def _kernel(ids_ref, table_ref, out_ref, sems):
             sems.at[slot],
         )
 
-    get_dma(0, 0).start()
+    for r in range(min(N_INFLIGHT, TB)):  # static prologue
+        get_dma(r, r).start()
 
     def body(r, _):
-        slot = r % n_buf
+        get_dma(r % N_INFLIGHT, r).wait()
 
-        @pl.when(r + 1 < TB)
+        @pl.when(r + N_INFLIGHT < TB)
         def _():
-            get_dma((r + 1) % n_buf, r + 1).start()
+            get_dma((r + N_INFLIGHT) % N_INFLIGHT, r + N_INFLIGHT).start()
 
-        get_dma(slot, r).wait()
         return 0
 
     jax.lax.fori_loop(0, TB, body, 0)
@@ -66,7 +68,7 @@ def gather_rows_pallas(
         out_specs=pl.BlockSpec(
             (block_rows, D), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((N_INFLIGHT,))],
     )
     out = pl.pallas_call(
         _kernel,
