@@ -1,0 +1,73 @@
+"""User-facing serving API: train once, recommend top-K for any users.
+
+The reference's serving surface is ``model.recommendation(...)`` returning a
+full ranked id matrix per script run (SURVEY.md §3.5). This wraps the
+framework's batched catalog scorers into a persistent object: score once (or
+per refresh), then answer per-user top-K queries instantly, with optional
+seen-item exclusion and orbax checkpoint loading.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeplearningrecommendationsystem_tpu.eval.recommend import mask_seen
+from deeplearningrecommendationsystem_tpu.models.base import ServingContext
+
+
+class Recommender:
+    """Holds a trained model + params and serves top-K recommendations."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        ctx: ServingContext,
+        seen: Optional[np.ndarray] = None,  # [U, I] bool: items to exclude
+    ):
+        self.model = model
+        self.params = params
+        self.ctx = ctx
+        self.seen = jnp.asarray(seen) if seen is not None else None
+        self._scores: Optional[jax.Array] = None
+
+    @classmethod
+    def from_checkpoint(cls, model, checkpoint_dir: str, ctx: ServingContext, seen=None):
+        from deeplearningrecommendationsystem_tpu.runtime.checkpoint import (
+            CheckpointManager,
+        )
+
+        template = model.init(jax.random.PRNGKey(0))
+        mgr = CheckpointManager(checkpoint_dir)
+        state = mgr.restore(template={"params": template})
+        mgr.close()
+        return cls(model, state["params"], ctx, seen)
+
+    def refresh(self) -> None:
+        """(Re)score the full catalog -- call after a params update."""
+        scores = self.model.score_catalog(self.params, self.ctx)
+        if self.seen is not None:
+            scores = mask_seen(scores, self.seen)
+        self._scores = scores
+
+    @property
+    def scores(self) -> jax.Array:
+        if self._scores is None:
+            self.refresh()
+        return self._scores
+
+    def top_k(self, k: int, users: Optional[Sequence[int]] = None) -> np.ndarray:
+        """[len(users), k] recommended item ids (all users by default)."""
+        s = self.scores
+        if users is not None:
+            s = s[jnp.asarray(users)]
+        _, idx = jax.lax.top_k(s, k)
+        return np.asarray(idx)
+
+    def score(self, user: int, items: Sequence[int]) -> np.ndarray:
+        """Raw scores of specific items for one user."""
+        return np.asarray(self.scores[user, jnp.asarray(items)])
