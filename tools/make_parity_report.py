@@ -55,6 +55,16 @@ def main():
         "Reference quality: `tools/run_reference_quality.py` (full training of the",
         "reference's own modules on CPU).",
         "",
+        "## Run-to-run variance (two independent campaigns, seeds 0 & 7)",
+        "",
+        "test auc_raw seed0/seed7 — stable within ±0.01 for 13 of 15 models:",
+        "afm .850/.847, autorec .918/.904, deepcross .887/.877,",
+        "deepcrossing .888/.888, deepfm .901/.902, dien .863/.860,",
+        "din .846/.854, ffm .878/.874, i-autorec .934/.928, lr .879/.880,",
+        "mf .935/.937, neuralcf .885/.888, pnn .887/.881 — the exceptions are",
+        "nfm (.864/.812) and widedeep (.873/.721), whose deep towers collapsed",
+        "on the second seed; see below (PARITY_seed0.json / PARITY_seed7.json).",
+        "",
         "## Init fragility of ReLU-terminated towers (shared with the reference)",
         "",
         "The reference's Wide&Deep/DeepFM/NFM deep towers end in ReLU(Linear(h, 1));",
