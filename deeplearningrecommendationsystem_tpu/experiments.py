@@ -228,10 +228,11 @@ def run_experiment(
         else:
             _, va, te = autorec_rows
         for name, rows in (("valid", va), ("test", te)):
-            m = ranking_metrics(
-                jnp.asarray(actual_all[rows]), jnp.asarray(rec[rows]), cfg.k
-            )
-            ranking[name] = {k_: float(v) for k_, v in m.items()}
+            for k_cut, suffix in ((cfg.k, ""), (10, "@10")):
+                m = ranking_metrics(
+                    jnp.asarray(actual_all[rows]), jnp.asarray(rec[rows]), k_cut
+                )
+                ranking[name + suffix] = {k_: float(v) for k_, v in m.items()}
     else:
         reals = {
             "train": data.itemid_matrix(data.train),
@@ -245,10 +246,11 @@ def run_experiment(
             seen = data.seen_mask(*(getattr(data, o) for o in others))
             rec = full_ranking(scores, jnp.asarray(seen))
             n_seen = counts[others[0]] + counts[others[1]]
-            m = ranking_metrics(
-                jnp.asarray(reals[name]), rec, cfg.k, n_seen=jnp.asarray(n_seen)
-            )
-            ranking[name] = {k_: float(v) for k_, v in m.items()}
+            for k_cut, suffix in ((cfg.k, ""), (10, "@10")):
+                m = ranking_metrics(
+                    jnp.asarray(reals[name]), rec, k_cut, n_seen=jnp.asarray(n_seen)
+                )
+                ranking[name + suffix] = {k_: float(v) for k_, v in m.items()}
 
     history = {k: np.asarray(v) for k, v in result.history.items()}
     out = ExperimentResult(

@@ -91,7 +91,8 @@ def run_mf(epochs=100):
     te_real = data.itemid_matrix(test_df)
     te_roc = data.remove_itemid(data.remove_itemid(rec, tr_real), va_real)
     va_roc = data.remove_itemid(data.remove_itemid(rec, tr_real), te_real)
-    return final, {"valid": ranking_eval(va_real, va_roc), "test": ranking_eval(te_real, te_roc)}
+    return final, {"valid": ranking_eval(va_real, va_roc), "test": ranking_eval(te_real, te_roc),
+                   "valid@10": ranking_eval(va_real, va_roc, k=10), "test@10": ranking_eval(te_real, te_roc, k=10)}
 
 
 def run_feature(model_name, epochs, n_neg, make_model, lr, wd):
@@ -133,7 +134,8 @@ def run_feature(model_name, epochs, n_neg, make_model, lr, wd):
     te_real = data.itemid_matrix(data.test)
     te_roc = data.remove_itemid(data.remove_itemid(rec, tr_real), va_real)
     va_roc = data.remove_itemid(data.remove_itemid(rec, tr_real), te_real)
-    return final, {"valid": ranking_eval(va_real, va_roc), "test": ranking_eval(te_real, te_roc)}
+    return final, {"valid": ranking_eval(va_real, va_roc), "test": ranking_eval(te_real, te_roc),
+                   "valid@10": ranking_eval(va_real, va_roc, k=10), "test@10": ranking_eval(te_real, te_roc, k=10)}
 
 
 def main():
