@@ -38,7 +38,9 @@ def test_lr_feature_family(ml100k):
     res = run("lr", ml100k, epochs=10)
     check_history(res, 10)
     assert res.history["train_loss"][-1] < res.history["train_loss"][0]
-    assert set(res.ranking) == {"valid", "test"}
+    assert set(res.ranking) == {"valid", "test", "valid@10", "test@10"}
+    # k=10 recall cannot exceed k=50 recall on the same ranking
+    assert res.ranking["test@10"]["recall"] <= res.ranking["test"]["recall"]
 
 
 def test_din_seq_family(ml100k):

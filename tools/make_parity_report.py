@@ -29,25 +29,27 @@ def main():
         "are single runs with random sampling, so small deltas are run-to-run",
         "variance.",
         "",
-        "| Model | test auc | test auc_raw | R@50 | NDCG@50 | MRR | ref auc_raw | ref R@50 | ref NDCG@50 |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| Model | test auc | test auc_raw | R@50 | NDCG@50 | NDCG@10 | MRR | ref auc_raw | ref R@50 | ref NDCG@50 | ref NDCG@10 |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name in ORDER:
         if name not in ours:
             continue
         v = ours[name]
         if "error" in v:
-            lines.append(f"| {name} | run failed | | | | | | | |")
+            lines.append(f"| {name} | run failed | | | | | | | | | |")
             continue
         f, r = v["final"], v["ranking"]["test"]
+        r10 = v["ranking"].get("test@10", {})
         rq = ref.get(name, {})
         rf = rq.get("final", {})
         rr = rq.get("ranking", {}).get("test", {})
+        rr10 = rq.get("ranking", {}).get("test@10", {})
         fmt = lambda x: f"{x:.3f}" if isinstance(x, (int, float)) else "—"
         lines.append(
             f"| {name} | {fmt(f.get('test_auc'))} | {fmt(f.get('test_auc_raw'))} | "
-            f"{fmt(r.get('recall'))} | {fmt(r.get('ndcg'))} | {fmt(r.get('mrr'))} | "
-            f"{fmt(rf.get('test_auc_raw'))} | {fmt(rr.get('recall'))} | {fmt(rr.get('ndcg'))} |"
+            f"{fmt(r.get('recall'))} | {fmt(r.get('ndcg'))} | {fmt(r10.get('ndcg'))} | {fmt(r.get('mrr'))} | "
+            f"{fmt(rf.get('test_auc_raw'))} | {fmt(rr.get('recall'))} | {fmt(rr.get('ndcg'))} | {fmt(rr10.get('ndcg'))} |"
         )
     lines += [
         "",
