@@ -37,11 +37,13 @@ def _kernel(ids_ref, table_ref, out_ref, sems):
         get_dma(r, r).start()
 
     def body(r, _):
-        get_dma(r % N_INFLIGHT, r).wait()
+        slot = r % N_INFLIGHT
+        get_dma(slot, r).wait()
 
+        # refill the slot just drained with the DMA N_INFLIGHT rows ahead
         @pl.when(r + N_INFLIGHT < TB)
         def _():
-            get_dma((r + N_INFLIGHT) % N_INFLIGHT, r + N_INFLIGHT).start()
+            get_dma(slot, r + N_INFLIGHT).start()
 
         return 0
 
