@@ -35,6 +35,11 @@ def main(argv=None) -> int:
         help="skip per-epoch metric tracking (fastest pure-training mode)",
     )
     ap.add_argument("--json", action="store_true", help="emit a JSON summary")
+    ap.add_argument(
+        "--plot",
+        metavar="PATH",
+        help="save training-curve figure (GDCF_Final.py:99-117 analogue) to PATH",
+    )
     ap.add_argument("--profile", metavar="DIR", help="capture a jax.profiler trace to DIR")
     ap.add_argument(
         "--debug-nans", action="store_true", help="fail fast on NaNs (numerical sanitizer)"
@@ -78,6 +83,12 @@ def main(argv=None) -> int:
         stack.enter_context(trace(args.profile))
     with stack:
         result = run_experiment(cfg, data_path=args.data, verbose=not args.json)
+    if args.plot:
+        from deeplearningrecommendationsystem_tpu.runtime.plotting import plot_history
+
+        plot_history(result.history, args.plot, title=f"{result.model} training curves")
+        if not args.json:
+            print(f"saved training curves to {args.plot}")
     if args.json:
         print(
             json.dumps(

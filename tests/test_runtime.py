@@ -55,3 +55,20 @@ def test_distributed_helpers_single_process():
     assert is_primary()
     start, end = host_local_slice(100)
     assert (start, end) == (0, 100)
+
+
+def test_plot_history(tmp_path):
+    pytest = __import__("pytest")
+    pytest.importorskip("matplotlib")
+    from deeplearningrecommendationsystem_tpu.runtime.plotting import plot_history
+
+    history = {
+        "train_loss": np.linspace(1.0, 0.1, 10),
+        "valid_loss": np.linspace(1.1, 0.2, 10),
+        "train_precision": np.linspace(0.5, 0.9, 10),
+        "train_recall": np.linspace(0.4, 0.8, 10),
+        "not_a_series": np.zeros((3, 3)),  # silently skipped
+    }
+    out = tmp_path / "curves.png"
+    plot_history(history, str(out))
+    assert out.exists() and out.stat().st_size > 0
