@@ -38,6 +38,12 @@ REFERENCE_EXAMPLES_PER_SEC = {"deepfm": 14581.0, "din": 17364.0, "mf": 614883.0}
 
 EPOCHS = 100
 
+# Mixed precision per model: bf16 (MXU matmuls, f32 master weights) is used
+# only where a full reference-hyperparameter run proved quality parity
+# (BF16_QUALITY.json): DIN matches f32 within seed variance at 1.56x speed;
+# DeepFM degraded in bf16 and stays f32.
+COMPUTE_DTYPE = {"deepfm": None, "din": "bfloat16", "mf": None}
+
 
 def _train_batch(data: MovieLens100K, name: str):
     cfg = PRESETS[name]
@@ -70,6 +76,7 @@ def measure(name: str, data: MovieLens100K) -> dict:
             weight_decay=cfg.weight_decay,
             epochs=EPOCHS,
             track_metrics=False,
+            compute_dtype=COMPUTE_DTYPE.get(name),
         ),
     )
     batch, y = _train_batch(data, name)
@@ -85,6 +92,7 @@ def measure(name: str, data: MovieLens100K) -> dict:
     n = int(y.shape[0])
     eps = n * EPOCHS / dt
     return {
+        "compute_dtype": COMPUTE_DTYPE.get(name) or "float32",
         "examples_per_epoch": n,
         "sec_total": dt,
         "examples_per_sec": eps,

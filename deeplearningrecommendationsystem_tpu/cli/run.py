@@ -30,6 +30,11 @@ def main(argv=None) -> int:
     ap.add_argument("--k", type=int, help="override ranking cutoff")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
+        "--compute-dtype",
+        choices=["float32", "bfloat16"],
+        help="matmul compute dtype (f32 master weights); default = preset's",
+    )
+    ap.add_argument(
         "--no-epoch-metrics",
         action="store_true",
         help="skip per-epoch metric tracking (fastest pure-training mode)",
@@ -69,6 +74,10 @@ def main(argv=None) -> int:
         overrides["k"] = args.k
     if args.no_epoch_metrics:
         overrides["track_metrics"] = False
+    if args.compute_dtype:
+        overrides["compute_dtype"] = (
+            None if args.compute_dtype == "float32" else args.compute_dtype
+        )
 
     cfg = PRESETS[args.model].replace(**overrides)
 

@@ -26,6 +26,9 @@ class ExperimentConfig:
     item_major: bool = False  # matrix family: I-AutoRec orientation
     seed: int = 0
     track_metrics: bool = True
+    # None = pure f32 (reference-parity numerics); 'bfloat16' = MXU fast path
+    # with f32 master weights (see train.TrainConfig.compute_dtype)
+    compute_dtype: Any = None
     model_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     def replace(self, **kw) -> "ExperimentConfig":

@@ -144,6 +144,7 @@ def run_experiment(
             weight_decay=cfg.weight_decay,
             epochs=cfg.epochs,
             track_metrics=cfg.track_metrics,
+            compute_dtype=cfg.compute_dtype,
         ),
     )
     rng = jax.random.PRNGKey(cfg.seed)

@@ -2,7 +2,8 @@
 
 The lookup path of a (row-sharded) embedding table: ids are prefetched into
 SMEM before the kernel body runs (PrefetchScalarGridSpec), the table stays in
-HBM/ANY, and rows stream into the VMEM output block with two DMAs in flight.
+HBM/ANY, and rows stream into the VMEM output block with N_INFLIGHT DMAs in
+flight, N_INFLIGHT rows issued per scalar-core loop branch.
 On ml-100k tables XLA's gather is already fine; this kernel is the building
 block for the large-vocab EP path where gather locality and DMA pipelining
 dominate (SURVEY.md §7 'hard parts').
@@ -33,21 +34,29 @@ def _kernel(ids_ref, table_ref, out_ref, sems):
             sems.at[slot],
         )
 
+    # block_rows is forced to a multiple of N_INFLIGHT, so the pipeline can be
+    # unrolled N_INFLIGHT rows per fori_loop iteration with STATIC slot
+    # indices and no per-row bounds guard: the scalar core runs one loop
+    # branch per N_INFLIGHT rows instead of one per row (DMA issue on the
+    # scalar core is the bottleneck of a row gather, not HBM bandwidth).
     for r in range(min(N_INFLIGHT, TB)):  # static prologue
         get_dma(r, r).start()
 
-    def body(r, _):
-        slot = r % N_INFLIGHT
-        get_dma(slot, r).wait()
+    n_iter = TB // N_INFLIGHT
 
-        # refill the slot just drained with the DMA N_INFLIGHT rows ahead
-        @pl.when(r + N_INFLIGHT < TB)
-        def _():
-            get_dma(slot, r + N_INFLIGHT).start()
-
+    def body(i, _):
+        r0 = i * N_INFLIGHT
+        for j in range(N_INFLIGHT):  # static unroll
+            get_dma(j, r0 + j).wait()
+            get_dma(j, r0 + j + N_INFLIGHT).start()
         return 0
 
-    jax.lax.fori_loop(0, TB, body, 0)
+    jax.lax.fori_loop(0, n_iter - 1, body, 0)
+
+    # epilogue: drain the last N_INFLIGHT rows (no refill)
+    r0 = (n_iter - 1) * N_INFLIGHT
+    for j in range(N_INFLIGHT):
+        get_dma(j, r0 + j).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
@@ -57,6 +66,8 @@ def gather_rows_pallas(
     block_rows: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    if block_rows % N_INFLIGHT or block_rows < N_INFLIGHT:
+        raise ValueError(f"block_rows must be a multiple of {N_INFLIGHT}")
     B = ids.shape[0]
     D = table.shape[1]
     B_pad = ((B + block_rows - 1) // block_rows) * block_rows

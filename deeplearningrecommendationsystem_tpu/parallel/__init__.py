@@ -8,6 +8,7 @@ from deeplearningrecommendationsystem_tpu.parallel.mesh import (
 from deeplearningrecommendationsystem_tpu.parallel.data import pad_and_shard
 from deeplearningrecommendationsystem_tpu.parallel.embedding import (
     ShardedEmbedding,
+    shard_table,
     sharded_gather,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "replicated",
     "pad_and_shard",
     "ShardedEmbedding",
+    "shard_table",
     "sharded_gather",
 ]

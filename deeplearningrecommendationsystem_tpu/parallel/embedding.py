@@ -41,11 +41,29 @@ def _local_gather(table_shard: jnp.ndarray, ids: jnp.ndarray, shard_rows: int):
     return jax.lax.psum(out, MODEL_AXIS)
 
 
+def shard_table(table: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Row-shard a table over the model axis, zero-padding the vocab to a
+    multiple of the axis size (real vocabs -- ml-100k's 943/1682 -- are not
+    divisible). Pad rows are never addressed by valid ids, receive zero
+    gradient, and must be sliced off (``table[:vocab]``) before any
+    full-table matmul (e.g. MF catalog scoring)."""
+    m = mesh.shape[MODEL_AXIS]
+    vocab = table.shape[0]
+    padded = ((vocab + m - 1) // m) * m
+    if padded != vocab:
+        table = jnp.concatenate(
+            [table, jnp.zeros((padded - vocab,) + table.shape[1:], table.dtype)]
+        )
+    return jax.device_put(table, NamedSharding(mesh, P(MODEL_AXIS, None)))
+
+
 def sharded_gather(table: jnp.ndarray, ids: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """[B] ids -> [B, D] rows from a table sharded P('model', None)."""
     m = mesh.shape[MODEL_AXIS]
     vocab = table.shape[0]
-    assert vocab % m == 0, f"vocab {vocab} not divisible by model axis {m}"
+    assert vocab % m == 0, (
+        f"vocab {vocab} not divisible by model axis {m}; pad with shard_table"
+    )
     shard_rows = vocab // m
     fn = jax.shard_map(
         partial(_local_gather, shard_rows=shard_rows),
@@ -71,9 +89,7 @@ class ShardedEmbedding:
     def init(self, key: jax.Array) -> jnp.ndarray:
         table = embedding_init(key, self.vocab, self.dim)
         if self.mesh is not None and self.mesh.shape[MODEL_AXIS] > 1:
-            table = jax.device_put(
-                table, NamedSharding(self.mesh, P(MODEL_AXIS, None))
-            )
+            table = shard_table(table, self.mesh)  # pads vocab to the axis
         return table
 
     def lookup(self, table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:

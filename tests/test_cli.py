@@ -20,3 +20,21 @@ def test_tiny_run_json(capsys):
     assert "test_auc" in payload["final"]
     assert "test" in payload["ranking"]
     assert payload["examples_per_sec"] > 0
+
+
+def test_tiny_run_bf16_and_plot(tmp_path, capsys):
+    pytest = __import__("pytest")
+    pytest.importorskip("matplotlib")
+    out_png = tmp_path / "curves.png"
+    assert (
+        main(
+            [
+                "--model", "mf", "--epochs", "2", "--json",
+                "--compute-dtype", "bfloat16", "--plot", str(out_png),
+            ]
+        )
+        == 0
+    )
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["model"] == "mf"
+    assert out_png.exists() and out_png.stat().st_size > 0

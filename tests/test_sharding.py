@@ -91,3 +91,30 @@ def test_deepfm_step_under_2d_mesh(ml100k):
     batch, labels, weights = pad_and_shard(X, y, mesh)
     res = trainer.fit(jax.random.PRNGKey(0), (batch, labels), weights={"train": weights})
     assert np.isfinite(np.asarray(res.history["train_loss"])).all()
+
+
+def test_shard_table_pads_non_divisible_vocab():
+    from deeplearningrecommendationsystem_tpu.parallel import shard_table
+
+    mesh = make_mesh(data=2, model=4)
+    rng = np.random.default_rng(3)
+    vocab, dim = 943, 16  # ml-100k user vocab: not divisible by 4
+    table = jnp.asarray(rng.normal(size=(vocab, dim)).astype(np.float32))
+    sharded = shard_table(table, mesh)
+    assert sharded.shape[0] == 944  # padded up to the model axis
+    np.testing.assert_allclose(np.asarray(sharded)[:vocab], np.asarray(table))
+    np.testing.assert_allclose(np.asarray(sharded)[vocab:], 0.0)
+
+    ids = jnp.asarray(rng.integers(0, vocab, 51))
+    got = np.asarray(sharded_gather(sharded, ids, mesh))
+    np.testing.assert_allclose(got, np.asarray(table)[np.asarray(ids)], rtol=1e-6)
+
+    # gradient flows only into real rows; pad rows stay zero
+    def loss(t):
+        return jnp.sum(sharded_gather(t, ids, mesh) ** 2)
+
+    g = np.asarray(jax.grad(loss)(sharded))
+    np.testing.assert_allclose(g[vocab:], 0.0)
+    dense_g = np.zeros((vocab, dim), np.float32)
+    np.add.at(dense_g, np.asarray(ids), 2 * np.asarray(table)[np.asarray(ids)])
+    np.testing.assert_allclose(g[:vocab], dense_g, rtol=1e-5)

@@ -95,10 +95,18 @@ def main():
             f"{nd} devices: {eps:,.0f} ex/s total, {per_dev:,.0f}/device, "
             f"efficiency {per_dev / base:.1%}"
         )
-    with open("SCALING.json", "w") as f:
-        json.dump(
-            {"backend": jax.default_backend(), "results": results}, f, indent=2
+    payload = {"backend": jax.default_backend(), "results": results}
+    if jax.default_backend() == "cpu":
+        payload["note"] = (
+            "virtual CPU mesh: all devices share this host's "
+            f"{os.cpu_count()} core(s), so weak-scaling efficiency here is "
+            "bounded by ~cores/devices and does NOT predict TPU ICI scaling; "
+            "it validates the sharded program only. Run with SCALING_REAL_TPU=1 "
+            "on a pod slice for real numbers."
         )
+        print(payload["note"])
+    with open("SCALING.json", "w") as f:
+        json.dump(payload, f, indent=2)
 
 
 if __name__ == "__main__":
