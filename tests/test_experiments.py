@@ -65,3 +65,12 @@ def test_i_autorec_orientation(ml100k):
 def test_neuralcf_short(ml100k):
     res = run("neuralcf", ml100k, epochs=3, negatives=(5, 3, 3))
     check_history(res, 3)
+
+
+def test_presets_default_to_f32_parity_numerics():
+    # quality-parity campaign (PARITY.json) ran in pure f32; presets must not
+    # silently switch numerics -- bf16 is opt-in (BF16_QUALITY.json evidence)
+    from deeplearningrecommendationsystem_tpu.configs.presets import PRESETS
+
+    for name, cfg in PRESETS.items():
+        assert cfg.compute_dtype is None, name

@@ -1,8 +1,14 @@
 """Serving benchmark: full-catalog scoring + top-k for all users.
 
 Compares this framework's tiled on-device catalog scorer against the
-measured reference serving loop (tools/measure_reference_serving.py:
-DeepFM ~22 s, MF ~53 ms on CPU for all 943 users). Writes SERVING_BENCH.json.
+measured reference serving loop (tools/measure_reference_serving.py, same
+host, recorded in BASELINE_MEASURED.json). Writes SERVING_BENCH.json.
+
+DIN caveat: the reference scores each user's FULL unpadded history
+(model/din.py:55-66; mean length ~106 on ml-100k), while this framework
+serves with a fixed masked window. We report hist_len=10 (the training-time
+semantics, what our quality campaign used) AND hist_len=128 (covers ~75% of
+users' full histories -- the closer-to-equal-work comparison).
 """
 
 from __future__ import annotations
@@ -32,7 +38,20 @@ from deeplearningrecommendationsystem_tpu.models import (  # noqa: E402
     ServingContext,
 )
 
-REFERENCE_S = {"deepfm": 22.0, "mf": 0.0526}  # measured torch-CPU serving
+def _reference_seconds():
+    """Same-host torch-CPU serving times (tools/measure_reference_serving.py)."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "BASELINE_MEASURED.json")) as f:
+            serving = json.load(f).get("serving", {})
+        return {
+            k.replace("_serving_all_users_s", ""): v for k, v in serving.items()
+        }
+    except FileNotFoundError:
+        return {}
+
+
+REFERENCE_S = _reference_seconds()
 
 
 def timeit(fn, iters=10):
@@ -55,20 +74,36 @@ def main():
     seen = jnp.asarray(data.seen_mask(data.train))
     results = {}
 
-    for name, model in (
-        ("deepfm", DeepFM(ML100K_SPEC)),
-        ("mf", MatrixFactorization(943, 1682, 64)),
-        ("din", DIN(1682, 64)),
+    ctx128 = ServingContext(
+        user_features=ctx.user_features,
+        item_features=ctx.item_features,
+        history=jnp.asarray(data.history_matrix(data.data, 128)),
+    )
+
+    for name, model, c in (
+        ("deepfm", DeepFM(ML100K_SPEC), ctx),
+        ("mf", MatrixFactorization(943, 1682, 64), ctx),
+        ("din", DIN(1682, 64), ctx),
+        ("din_hist128", DIN(1682, 64), ctx128),
     ):
         params = model.init(jax.random.PRNGKey(0))
-        fn = jax.jit(lambda p=params, m=model: top_k_unseen(m.score_catalog(p, ctx), seen, 50))
+        fn = jax.jit(
+            lambda p=params, m=model, c=c: top_k_unseen(m.score_catalog(p, c), seen, 50)
+        )
         dt = timeit(fn)
         entry = {"seconds_all_users": dt, "users_per_sec": 943 / dt}
-        if name in REFERENCE_S:
-            entry["speedup_vs_reference"] = REFERENCE_S[name] / dt
+        ref_key = name.split("_")[0]
+        if ref_key in REFERENCE_S:
+            entry["speedup_vs_reference"] = REFERENCE_S[ref_key] / dt
         results[name] = entry
         print(name, json.dumps(entry))
 
+    results["notes"] = {
+        "reference_seconds_same_host": REFERENCE_S,
+        "din": "reference scores FULL per-user histories (mean ~106); "
+        "din = hist_len 10 (training semantics), din_hist128 = closer-to-"
+        "equal-work window",
+    }
     with open("SERVING_BENCH.json", "w") as f:
         json.dump(results, f, indent=2)
 

@@ -46,6 +46,25 @@ def main():
     results["deepfm_serving_all_users_s"] = per_user * data.num_users
     print(f"deepfm serving: {per_user*1e3:.1f} ms/user -> {per_user*943:.1f}s for all users")
 
+    # DIN: the worst loop -- per user, repeat the FULL unpadded history
+    # num_items times and forward a (1682, L, D) batch (model/din.py:55-66,
+    # invoked with k=num_items by scripts/din.py:100)
+    from model.din import DIN
+
+    din = DIN(data.num_items, 64)
+    din.eval()
+    hist_list = data.itemid_matrix(data.data)
+    hist_list = np.array(
+        [row[row != -1] for row in hist_list], dtype=object
+    )
+    with torch.no_grad():
+        t0 = time.perf_counter()
+        din.recommendation(SAMPLE_USERS, data.num_items, hist_list, data.num_items)
+        dt = time.perf_counter() - t0
+    per_user = dt / SAMPLE_USERS
+    results["din_serving_all_users_s"] = per_user * data.num_users
+    print(f"din serving: {per_user*1e3:.1f} ms/user -> {per_user*943:.1f}s for all users")
+
     # MF: vectorized matmul path (model/mf.py:28-35) -- the reference's best case
     mf = MatrixFactorization(data.num_users, data.num_items, 64)
     mf.eval()
