@@ -90,6 +90,7 @@ class ExperimentResult:
     epochs: int
     train_time_s: float
     extras: Dict[str, float] = dataclasses.field(default_factory=dict)
+    ctx: Any = None  # ServingContext used for the ranking eval (serving reuse)
 
     @property
     def examples_per_sec(self) -> float:
@@ -263,6 +264,7 @@ def run_experiment(
         epochs=cfg.epochs,
         train_time_s=train_time,
         extras=result.extras,
+        ctx=ctx,
     )
     if verbose:
         from deeplearningrecommendationsystem_tpu.runtime.logging import print_report

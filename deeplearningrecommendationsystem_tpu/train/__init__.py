@@ -1,4 +1,17 @@
 from deeplearningrecommendationsystem_tpu.train.optim import torch_adam
+from deeplearningrecommendationsystem_tpu.train.sparse import (
+    LazyAdamState,
+    RowwiseAdagradState,
+    sparse_table_update,
+)
 from deeplearningrecommendationsystem_tpu.train.trainer import TrainConfig, Trainer, TrainResult
 
-__all__ = ["torch_adam", "TrainConfig", "Trainer", "TrainResult"]
+__all__ = [
+    "torch_adam",
+    "TrainConfig",
+    "Trainer",
+    "TrainResult",
+    "LazyAdamState",
+    "RowwiseAdagradState",
+    "sparse_table_update",
+]
