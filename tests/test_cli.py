@@ -22,6 +22,25 @@ def test_tiny_run_json(capsys):
     assert payload["examples_per_sec"] > 0
 
 
+def test_cf_cli_usercf_json(capsys):
+    from deeplearningrecommendationsystem_tpu.cli.cf import main as cf_main
+
+    assert cf_main(["usercf", "--json"]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["algo"] == "usercf" and payload["fold"] == "ua"
+    assert payload["recall"] > 0.10 and payload["precision"] > 0.10
+
+
+def test_cf_cli_gdcf_json(capsys):
+    from deeplearningrecommendationsystem_tpu.cli.cf import main as cf_main
+
+    assert cf_main(["gdcf", "--iterations", "3", "--embedding-size", "16", "--json"]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["fold"] == "u1"
+    assert len(payload["loss"]) == 3
+    assert payload["loss"][-1] < payload["loss"][0]
+
+
 def test_tiny_run_bf16_and_plot(tmp_path, capsys):
     pytest = __import__("pytest")
     pytest.importorskip("matplotlib")
