@@ -10,6 +10,7 @@ from deeplearningrecommendationsystem_tpu.parallel.embedding import (
     ShardedEmbedding,
     shard_table,
     sharded_gather,
+    sharded_gather_scatter,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "ShardedEmbedding",
     "shard_table",
     "sharded_gather",
+    "sharded_gather_scatter",
 ]

@@ -74,6 +74,54 @@ def sharded_gather(table: jnp.ndarray, ids: jnp.ndarray, mesh: Mesh) -> jnp.ndar
     return fn(table, ids)
 
 
+def _local_gather_scatter(table_shard, ids_shard, shard_rows: int):
+    """id-exchange variant, runs inside shard_map with batch-sharded ids.
+
+    all_gather the (tiny, int32) id shards so every table shard sees the full
+    batch, gather the rows it owns, then ``psum_scatter`` so each device
+    receives exactly the [B/m, D] activation block for its own ids. Per-device
+    activation traffic is (m-1)/m * B * D — half the bidirectional all-reduce
+    of the ``psum`` path — and the output stays batch-sharded over the model
+    axis, which composes with treating that axis as extra batch parallelism
+    downstream (SURVEY.md §2.5's "all-to-all ID exchange").
+    """
+    shard_idx = jax.lax.axis_index(MODEL_AXIS)
+    ids = jax.lax.all_gather(ids_shard, MODEL_AXIS, tiled=True)  # [B] int32
+    lo = shard_idx * shard_rows
+    local = ids - lo
+    owned = (local >= 0) & (local < shard_rows)
+    local = jnp.clip(local, 0, shard_rows - 1)
+    contrib = table_shard[local] * owned[:, None].astype(table_shard.dtype)
+    return jax.lax.psum_scatter(contrib, MODEL_AXIS, tiled=True)  # [B/m, D]
+
+
+def sharded_gather_scatter(
+    table: jnp.ndarray, ids: jnp.ndarray, mesh: Mesh
+) -> jnp.ndarray:
+    """[B] ids -> [B, D] rows via id all_gather + ``psum_scatter``.
+
+    Same result as :func:`sharded_gather` (tested bit-equal, gradients
+    included) at half the per-device activation traffic; requires B divisible
+    by the model axis size. The returned global array is sharded
+    P('model', None) over the batch dim.
+    """
+    m = mesh.shape[MODEL_AXIS]
+    vocab = table.shape[0]
+    assert vocab % m == 0, (
+        f"vocab {vocab} not divisible by model axis {m}; pad with shard_table"
+    )
+    assert ids.shape[0] % m == 0, (
+        f"batch {ids.shape[0]} not divisible by model axis {m}"
+    )
+    fn = jax.shard_map(
+        partial(_local_gather_scatter, shard_rows=vocab // m),
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P(MODEL_AXIS)),
+        out_specs=P(MODEL_AXIS, None),
+    )
+    return fn(table, ids)
+
+
 @dataclasses.dataclass
 class ShardedEmbedding:
     """An embedding table row-sharded over the mesh's model axis.

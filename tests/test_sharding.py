@@ -52,6 +52,47 @@ def test_sharded_gather_gradients_match_dense():
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d), rtol=1e-6)
 
 
+def test_gather_scatter_matches_dense_fwd_and_grad():
+    from deeplearningrecommendationsystem_tpu.parallel.embedding import (
+        sharded_gather_scatter,
+        shard_table,
+    )
+
+    mesh = make_mesh(data=2, model=4)
+    table = jax.random.normal(jax.random.PRNGKey(1), (64, 16))
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 64, 40))  # 40 % 4 == 0
+    cot = jax.random.normal(jax.random.PRNGKey(2), (40, 16))
+    sharded = shard_table(table, mesh)
+
+    out = np.asarray(sharded_gather_scatter(sharded, ids, mesh))
+    np.testing.assert_allclose(out, np.asarray(table)[np.asarray(ids)], rtol=1e-6)
+
+    def loss_scatter(t):
+        return jnp.sum(sharded_gather_scatter(t, ids, mesh) * cot)
+
+    def loss_dense(t):
+        return jnp.sum(t[ids] * cot)
+
+    g_s = jax.grad(loss_scatter)(sharded)
+    g_d = jax.grad(loss_dense)(table)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d), rtol=1e-6)
+
+
+def test_gather_scatter_equals_psum_path():
+    from deeplearningrecommendationsystem_tpu.parallel.embedding import (
+        sharded_gather_scatter,
+        shard_table,
+    )
+
+    mesh = make_mesh(data=1, model=8)
+    table = jax.random.normal(jax.random.PRNGKey(4), (48, 8))
+    ids = jnp.asarray(np.random.default_rng(5).integers(0, 48, 64))
+    sharded = shard_table(table, mesh)
+    a = np.asarray(sharded_gather(sharded, ids, mesh))
+    b = np.asarray(sharded_gather_scatter(sharded, ids, mesh))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_dp_training_matches_single_device(ml100k):
     """A DP-sharded full-batch step must reproduce the unsharded run."""
     mesh = make_mesh(data=8, model=1)

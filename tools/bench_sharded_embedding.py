@@ -35,7 +35,11 @@ if os.environ.get("SCALING_REAL_TPU") != "1":
 import jax.numpy as jnp  # noqa: E402
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 
-from deeplearningrecommendationsystem_tpu.parallel import make_mesh, sharded_gather  # noqa: E402
+from deeplearningrecommendationsystem_tpu.parallel import (  # noqa: E402
+    make_mesh,
+    sharded_gather,
+    sharded_gather_scatter,
+)
 from deeplearningrecommendationsystem_tpu.parallel.mesh import MODEL_AXIS  # noqa: E402
 
 
@@ -68,11 +72,18 @@ def main():
     shard_fwd = jax.jit(lambda t, i: sharded_gather(t, i, mesh))
     dense_bwd = jax.jit(jax.grad(lambda t, i: jnp.vdot(t[i], cot)))
     shard_bwd = jax.jit(jax.grad(lambda t, i: jnp.vdot(sharded_gather(t, i, mesh), cot)))
+    scatter_fwd = jax.jit(lambda t, i: sharded_gather_scatter(t, i, mesh))
+    scatter_bwd = jax.jit(
+        jax.grad(lambda t, i: jnp.vdot(sharded_gather_scatter(t, i, mesh), cot))
+    )
 
     import numpy as np
 
     np.testing.assert_allclose(
         np.asarray(shard_fwd(table_sharded, ids)), np.asarray(dense_fwd(table, ids)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(scatter_fwd(table_sharded, ids)), np.asarray(dense_fwd(table, ids)), rtol=1e-6
     )
     results = {
         "vocab": args.vocab,
@@ -84,6 +95,8 @@ def main():
         "sharded_fwd_ms": timeit(shard_fwd, table_sharded, ids) * 1e3,
         "dense_bwd_ms": timeit(dense_bwd, table, ids) * 1e3,
         "sharded_bwd_ms": timeit(shard_bwd, table_sharded, ids) * 1e3,
+        "scatter_fwd_ms": timeit(scatter_fwd, table_sharded, ids) * 1e3,
+        "scatter_bwd_ms": timeit(scatter_bwd, table_sharded, ids) * 1e3,
         "table_bytes_per_device_sharded": table.nbytes // args.model_axis,
     }
     print(json.dumps(results, indent=2))
