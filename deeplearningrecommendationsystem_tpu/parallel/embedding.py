@@ -128,11 +128,17 @@ class ShardedEmbedding:
 
     On a 1-sized model axis (or mesh=None) this degrades to a plain dense
     gather -- the single-chip fast path.
+
+    ``strategy``: 'psum' (masked gather + all-reduce, replicated output,
+    works for any batch size) or 'scatter' (id all_gather + psum_scatter,
+    half the activation traffic, batch-sharded output; batch must divide the
+    model axis size).
     """
 
     vocab: int
     dim: int
     mesh: Mesh | None = None
+    strategy: str = "psum"
 
     def init(self, key: jax.Array) -> jnp.ndarray:
         table = embedding_init(key, self.vocab, self.dim)
@@ -143,4 +149,6 @@ class ShardedEmbedding:
     def lookup(self, table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
         if self.mesh is None or self.mesh.shape[MODEL_AXIS] == 1:
             return table[ids]
+        if self.strategy == "scatter":
+            return sharded_gather_scatter(table, ids, self.mesh)
         return sharded_gather(table, ids, self.mesh)

@@ -78,6 +78,18 @@ def test_gather_scatter_matches_dense_fwd_and_grad():
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d), rtol=1e-6)
 
 
+def test_sharded_embedding_scatter_strategy():
+    mesh = make_mesh(data=2, model=4)
+    emb = ShardedEmbedding(vocab=64, dim=16, mesh=mesh, strategy="scatter")
+    table = emb.init(jax.random.PRNGKey(0))
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 64, 40))
+    np.testing.assert_allclose(
+        np.asarray(emb.lookup(table, ids)),
+        np.asarray(table)[np.asarray(ids)],
+        rtol=1e-6,
+    )
+
+
 def test_gather_scatter_equals_psum_path():
     from deeplearningrecommendationsystem_tpu.parallel.embedding import (
         sharded_gather_scatter,
