@@ -45,6 +45,18 @@ def main(argv=None) -> int:
         metavar="PATH",
         help="save training-curve figure (GDCF_Final.py:99-117 analogue) to PATH",
     )
+    ap.add_argument(
+        "--mesh",
+        metavar="DATA,MODEL",
+        help="device mesh axes, e.g. 4,2 = DP over 4 x row-sharded tables (EP) "
+        "over 2 (parallel/ep.py); default single-device",
+    )
+    ap.add_argument(
+        "--ep-strategy",
+        choices=["psum", "scatter"],
+        default="psum",
+        help="EP gather strategy: masked-gather+psum or id-all_gather+psum_scatter",
+    )
     ap.add_argument("--profile", metavar="DIR", help="capture a jax.profiler trace to DIR")
     ap.add_argument(
         "--debug-nans", action="store_true", help="fail fast on NaNs (numerical sanitizer)"
@@ -78,6 +90,10 @@ def main(argv=None) -> int:
         overrides["compute_dtype"] = (
             None if args.compute_dtype == "float32" else args.compute_dtype
         )
+    if args.mesh:
+        data_ax, model_ax = (int(v) for v in args.mesh.split(","))
+        overrides["mesh_shape"] = (data_ax, model_ax)
+        overrides["ep_strategy"] = args.ep_strategy
 
     cfg = PRESETS[args.model].replace(**overrides)
 

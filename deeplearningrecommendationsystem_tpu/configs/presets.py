@@ -26,6 +26,11 @@ class ExperimentConfig:
     item_major: bool = False  # matrix family: I-AutoRec orientation
     seed: int = 0
     track_metrics: bool = True
+    # parallelism: (data, model) mesh axes; None = single device. model > 1
+    # row-shards the id embedding tables (EP) via parallel/ep.py; data > 1
+    # shards the batch (DP). E.g. (4, 2) on 8 devices.
+    mesh_shape: Any = None
+    ep_strategy: str = "psum"  # 'psum' | 'scatter'
     # None = pure f32 (reference-parity numerics); 'bfloat16' = MXU fast path
     # with f32 master weights (see train.TrainConfig.compute_dtype)
     compute_dtype: Any = None

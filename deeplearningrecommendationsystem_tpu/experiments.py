@@ -138,6 +138,11 @@ def run_experiment(
     if data is None:
         data = MovieLens100K(data_path, seed=cfg.seed)
     model = build_model(cfg, data)
+    mesh = None
+    if cfg.mesh_shape is not None:
+        from deeplearningrecommendationsystem_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=cfg.mesh_shape[0], model=cfg.mesh_shape[1])
     trainer = Trainer(
         model,
         TrainConfig(
@@ -146,6 +151,8 @@ def run_experiment(
             epochs=cfg.epochs,
             track_metrics=cfg.track_metrics,
             compute_dtype=cfg.compute_dtype,
+            mesh=mesh,
+            ep_strategy=cfg.ep_strategy,
         ),
     )
     rng = jax.random.PRNGKey(cfg.seed)
@@ -201,6 +208,18 @@ def run_experiment(
             ctx = dataclasses.replace(
                 ctx, history=jnp.asarray(data.history_matrix(data.data, cfg.hist_len))
             )
+
+    # ---- DP: pad each split to the data-axis size, zero-weight pad rows ----
+    if mesh is not None and mesh.shape["data"] > 1:
+        from deeplearningrecommendationsystem_tpu.parallel import pad_and_shard
+
+        sharded_weights: Dict[str, jnp.ndarray] = {}
+        for name in batches:
+            b, y = batches[name]
+            b, y, w = pad_and_shard(b, y, mesh, (weights or {}).get(name))
+            batches[name] = (b, y)
+            sharded_weights[name] = w
+        weights = sharded_weights
 
     # ---- train (one compiled scan over all epochs) ----
     t0 = time.perf_counter()

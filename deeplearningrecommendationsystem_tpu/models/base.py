@@ -99,6 +99,89 @@ def catalog_scores_from_pairs(
     return scores.reshape(U_pad, num_items)[:num_users]
 
 
+def catalog_scores_full_history(
+    apply_len_fn: Callable,
+    params,
+    histories,
+    num_items: int,
+    buckets: tuple = (32, 64, 128, 256, 512, 1024),
+    elem_budget: int = 32 * 1024 * 1024,
+) -> jnp.ndarray:
+    """[U, I] logits scoring each user's COMPLETE variable-length history.
+
+    The reference serves DIN/DIEN with every user's full unpadded history
+    (model/din.py:55-66: per user, repeat the whole history num_items times
+    and forward a [num_items, L_u, D] batch). Static-shape TPU equivalent:
+    users are grouped into length buckets, right-padded to the bucket length
+    with an explicit valid-length mask, and each bucket is scored as tiled
+    [users x item-chunks] batched forwards. Masked attention over the true
+    positions is mathematically identical to the reference's exact-length
+    softmax (and for DIEN the GRU state is read at step L_u - 1, before any
+    pad step), so the produced top-K lists match the reference's semantics
+    exactly -- proven against a naive per-user oracle in
+    tests/test_full_history.py.
+
+    ``apply_len_fn(params, (hist [B, Lb], target [B], length [B])) -> [B]``.
+    ``histories``: sequence of per-user 1-D id arrays (variable length).
+    ``elem_budget`` caps the [B, Lb, D]-shaped activation tile size.
+    """
+    import numpy as np  # host-side bucketing only
+
+    U = len(histories)
+    lengths = np.array([max(len(h), 1) for h in histories], dtype=np.int64)
+    maxlen = int(lengths.max())
+    bucket_list = [b for b in buckets if b < maxlen]
+    top = next((b for b in buckets if b >= maxlen), None)
+    bucket_list.append(top if top is not None else maxlen)
+
+    scores = np.zeros((U, num_items), dtype=np.float32)
+    items = jnp.arange(num_items, dtype=jnp.int32)
+    lo = 0
+    for Lb in bucket_list:
+        sel = np.where((lengths > lo) & (lengths <= Lb))[0]
+        lo = Lb
+        if sel.size == 0:
+            continue
+        # user/item tile sizes under the activation budget (D is absorbed
+        # into the budget as a constant factor; Lb is the driver)
+        chunk = min(num_items, 256)
+        tile = max(1, min(64, elem_budget // (chunk * Lb * 64)))
+        n_pad = ((sel.size + tile - 1) // tile) * tile
+        hist_b = np.zeros((n_pad, Lb), dtype=np.int32)  # right-pad with 0
+        len_b = np.ones((n_pad,), dtype=np.int32)
+        for j, u in enumerate(sel):
+            h = np.asarray(histories[u], dtype=np.int32)
+            hist_b[j, : len(h)] = h
+            len_b[j] = max(len(h), 1)
+        i_pad = ((num_items + chunk - 1) // chunk) * chunk
+        targets = jnp.concatenate(
+            [items, jnp.zeros((i_pad - num_items,), jnp.int32)]
+        ).reshape(-1, chunk)
+
+        def tile_fn(args, _Lb=Lb, _chunk=chunk):
+            hist_t, len_t = args  # [T, Lb], [T]
+            T = hist_t.shape[0]
+
+            def item_chunk(tgt):  # [chunk]
+                h = jnp.broadcast_to(
+                    hist_t[:, None, :], (T, _chunk, _Lb)
+                ).reshape(-1, _Lb)
+                t = jnp.tile(tgt, T)
+                l = jnp.repeat(len_t, _chunk)
+                return apply_len_fn(params, (h, t, l)).reshape(T, _chunk)
+
+            out = jax.lax.map(item_chunk, targets)  # [nC, T, chunk]
+            return jnp.moveaxis(out, 0, 1).reshape(T, -1)
+
+        hist_j = jnp.asarray(hist_b).reshape(-1, tile, Lb)
+        len_j = jnp.asarray(len_b).reshape(-1, tile)
+        out = jax.lax.map(tile_fn, (hist_j, len_j))  # [nT, tile, i_pad]
+        scores[sel] = np.asarray(
+            out.reshape(n_pad, -1)[: sel.size, :num_items]
+        )
+    return jnp.asarray(scores)
+
+
 def catalog_scores_from_history(
     apply_fn: Callable, params, history: jnp.ndarray, num_items: int, tile: int = 16
 ) -> jnp.ndarray:

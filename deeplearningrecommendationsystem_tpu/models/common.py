@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from deeplearningrecommendationsystem_tpu.features import FeatureSpec
 from deeplearningrecommendationsystem_tpu.ops.linear import embedding_init, linear, linear_init
+from deeplearningrecommendationsystem_tpu.parallel.ep import gather_rows
 
 
 def linear_part_init(key: jax.Array, spec: FeatureSpec, dtype=jnp.float32) -> dict:
@@ -27,4 +28,8 @@ def linear_part(p: dict, x: jnp.ndarray, spec: FeatureSpec) -> jnp.ndarray:
     """user_bias[u] + item_bias[i] + W . dense + b  -> [B, 1]."""
     u = x[:, spec.user_col].astype(jnp.int32)
     i = x[:, spec.item_col].astype(jnp.int32)
-    return p["user_bias"][u] + p["item_bias"][i] + linear(p["wide"], spec.dense(x))
+    return (
+        gather_rows(p["user_bias"], u)
+        + gather_rows(p["item_bias"], i)
+        + linear(p["wide"], spec.dense(x))
+    )

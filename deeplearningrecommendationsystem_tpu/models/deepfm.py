@@ -68,3 +68,37 @@ class DeepFM:
 
     def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
         return catalog_scores_from_features(self.apply, params, ctx)
+
+    # -- sparse/production protocol (train/sparse_trainer.py) ---------------
+    # The four vocab-height tables (field embeddings + LR biases) train with
+    # row-sparse optimizers; the small field tables (age/gender/occupation/
+    # genre) and the MLP stay dense.
+    sparse_tables = {
+        "user": ("tables", "user"),
+        "item": ("tables", "item"),
+        "user_bias": ("fm_linear", "user_bias"),
+        "item_bias": ("fm_linear", "item_bias"),
+    }
+
+    def table_ids(self, x: jnp.ndarray) -> dict:
+        u = x[:, self.spec.user_col].astype(jnp.int32)
+        i = x[:, self.spec.item_col].astype(jnp.int32)
+        return {"user": u, "item": i, "user_bias": u, "item_bias": i}
+
+    def apply_rows(self, dense: dict, rows: dict, x: jnp.ndarray) -> jnp.ndarray:
+        # dense == params minus the four sparse tables (embed_fields embeds
+        # only the fields still present; user/item come in as gathered rows)
+        e = embed_fields(dense["tables"], x, self.spec)
+        e["user"], e["item"] = rows["user"], rows["item"]
+        fields = jnp.stack([e[f] for f in FIELDS], axis=1)  # [B, 6, D]
+        deep = relu_stack(
+            dense["deep"],
+            linear(dense["deep_in"], fields.reshape(fields.shape[0], -1)),
+        )
+        wide = (
+            rows["user_bias"]
+            + rows["item_bias"]
+            + linear(dense["fm_linear"]["wide"], self.spec.dense(x))
+        )
+        fm = wide + fm_cross_term(fields)[:, None]
+        return linear(dense["out"], jnp.concatenate([fm, deep], axis=-1))[:, 0]

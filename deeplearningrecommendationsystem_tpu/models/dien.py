@@ -23,6 +23,7 @@ from deeplearningrecommendationsystem_tpu.models.base import (
 from deeplearningrecommendationsystem_tpu.ops.attention import din_attention_weights
 from deeplearningrecommendationsystem_tpu.ops.gru import augru, gru, gru_init
 from deeplearningrecommendationsystem_tpu.ops.linear import embedding_init, mlp, mlp_init
+from deeplearningrecommendationsystem_tpu.parallel.ep import gather_rows
 
 
 @dataclasses.dataclass
@@ -44,8 +45,8 @@ class DIEN:
 
     def apply(self, params: dict, batch) -> jnp.ndarray:
         hist, target = batch
-        hist_e = params["item"][hist]  # [B, L, D]
-        target_e = params["item"][target]  # [B, D]
+        hist_e = gather_rows(params["item"], hist)  # [B, L, D]
+        target_e = gather_rows(params["item"], target)  # [B, D]
         w = din_attention_weights(params["att"], hist_e, target_e)  # [B, L]
         if self.use_augru:
             interest = augru(params["gru"], hist_e, w)
@@ -71,8 +72,8 @@ class DIEN:
 
         hist / neg_hist: [B, L] item ids (neg_hist = sampled non-clicked items).
         """
-        hist_e = params["item"][hist]  # [B, L, D]
-        neg_e = params["item"][neg_hist]  # [B, L, D]
+        hist_e = gather_rows(params["item"], hist)  # [B, L, D]
+        neg_e = gather_rows(params["item"], neg_hist)  # [B, L, D]
         states = gru(params["gru"], hist_e, return_sequence=True)  # [B, L, H]
         h_t = states[:, :-1, :]  # predicts step t+1
         pos = jnp.sum(h_t * hist_e[:, 1:, :], axis=-1)

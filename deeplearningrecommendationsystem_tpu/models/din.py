@@ -22,6 +22,7 @@ from deeplearningrecommendationsystem_tpu.models.base import (
 )
 from deeplearningrecommendationsystem_tpu.ops.attention import attention_pool
 from deeplearningrecommendationsystem_tpu.ops.linear import embedding_init, mlp, mlp_init
+from deeplearningrecommendationsystem_tpu.parallel.ep import gather_rows
 
 
 @dataclasses.dataclass
@@ -45,8 +46,8 @@ class DIN:
 
     def _apply(self, params: dict, batch, use_pallas: bool) -> jnp.ndarray:
         hist, target = batch  # [B, L] int, [B] int
-        hist_e = params["item"][hist]  # [B, L, D]
-        target_e = params["item"][target]  # [B, D]
+        hist_e = gather_rows(params["item"], hist)  # [B, L, D]
+        target_e = gather_rows(params["item"], target)  # [B, D]
         mask = None
         if self.mask_padding:
             # valid = positions after the leading zero-pad run; item 0 can

@@ -23,6 +23,7 @@ from deeplearningrecommendationsystem_tpu.models.base import (
 )
 from deeplearningrecommendationsystem_tpu.models.common import linear_part_init
 from deeplearningrecommendationsystem_tpu.ops.linear import embedding_init, linear
+from deeplearningrecommendationsystem_tpu.parallel.ep import gather_rows
 
 # (left_field, left_domain, right_field, right_domain) for the 15 pair dots,
 # in the reference's order (model/ffm.py:62-80).
@@ -79,8 +80,8 @@ class FFM:
             emb[("gender", domain)] = gender @ t[f"gender.{domain}"]
             emb[("occupation", domain)] = occupation @ t[f"occupation.{domain}"]
             emb[("genre", domain)] = genre @ t[f"genre.{domain}"]
-            emb[("user_id", domain)] = t[f"user_id.{domain}"][user]
-            emb[("item_id", domain)] = t[f"item_id.{domain}"][item]
+            emb[("user_id", domain)] = gather_rows(t[f"user_id.{domain}"], user)
+            emb[("item_id", domain)] = gather_rows(t[f"item_id.{domain}"], item)
 
         cross = jnp.zeros((x.shape[0],), dtype=x.dtype)
         for lf, ld, rf, rd in PAIRS:
@@ -89,7 +90,9 @@ class FFM:
         lr = params["lr"]
         dense_plus_cross = spec.dense(x) + cross[:, None]  # reference quirk
         logits = (
-            lr["user_bias"][user] + lr["item_bias"][item] + linear(lr["wide"], dense_plus_cross)
+            gather_rows(lr["user_bias"], user)
+            + gather_rows(lr["item_bias"], item)
+            + linear(lr["wide"], dense_plus_cross)
         )
         return logits[:, 0]
 

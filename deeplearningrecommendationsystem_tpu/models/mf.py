@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from deeplearningrecommendationsystem_tpu.models.base import ServingContext
 from deeplearningrecommendationsystem_tpu.ops.linear import embedding_init
+from deeplearningrecommendationsystem_tpu.parallel.ep import gather_rows
 
 
 @dataclasses.dataclass
@@ -30,7 +31,23 @@ class MatrixFactorization:
 
     def apply(self, params: dict, batch) -> jnp.ndarray:
         users, items = batch
-        return jnp.sum(params["user"][users] * params["item"][items], axis=-1)
+        return jnp.sum(
+            gather_rows(params["user"], users) * gather_rows(params["item"], items),
+            axis=-1,
+        )
 
     def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
         return params["user"] @ params["item"].T
+
+    # -- sparse/production protocol (train/sparse_trainer.py) ---------------
+    # Row-sparse optimizers differentiate w.r.t. the GATHERED rows so a
+    # minibatch step never materializes a full-vocab gradient (the reference's
+    # dense Adam regime reads/writes whole tables every step, scripts/mf.py:66).
+    sparse_tables = {"user": ("user",), "item": ("item",)}
+
+    def table_ids(self, batch) -> dict:
+        users, items = batch
+        return {"user": users, "item": items}
+
+    def apply_rows(self, dense: dict, rows: dict, batch) -> jnp.ndarray:
+        return jnp.sum(rows["user"] * rows["item"], axis=-1)

@@ -24,6 +24,7 @@ from deeplearningrecommendationsystem_tpu.ops.linear import (
     linear_init,
     mlp_init,
 )
+from deeplearningrecommendationsystem_tpu.parallel.ep import gather_rows
 
 
 @dataclasses.dataclass
@@ -48,9 +49,10 @@ class NeuralCF:
 
     def apply(self, params: dict, batch) -> jnp.ndarray:
         users, items = batch
-        gmf = params["gmf_user"][users] * params["gmf_item"][items]
+        gmf = gather_rows(params["gmf_user"], users) * gather_rows(params["gmf_item"], items)
         x = jnp.concatenate(
-            [params["mlp_user"][users], params["mlp_item"][items]], axis=-1
+            [gather_rows(params["mlp_user"], users), gather_rows(params["mlp_item"], items)],
+            axis=-1,
         )
         for p in params["mlp"]:
             x = jax.nn.relu(linear(p, x))

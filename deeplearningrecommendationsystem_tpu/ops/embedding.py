@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from deeplearningrecommendationsystem_tpu.features import FeatureSpec
 from deeplearningrecommendationsystem_tpu.ops.linear import embedding_init
+from deeplearningrecommendationsystem_tpu.parallel.ep import gather_rows
 
 
 def init_field_tables(
@@ -49,9 +50,9 @@ def embed_fields(
     user, item, age, gender, occupation, genre = spec.split(x)
     out: Dict[str, jnp.ndarray] = {}
     if "user" in tables:
-        out["user"] = tables["user"][user]
+        out["user"] = gather_rows(tables["user"], user)
     if "item" in tables:
-        out["item"] = tables["item"][item]
+        out["item"] = gather_rows(tables["item"], item)
     if "age" in tables:
         out["age"] = age @ tables["age"]
     if "gender" in tables:

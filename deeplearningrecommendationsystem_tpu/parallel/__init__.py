@@ -6,6 +6,14 @@ from deeplearningrecommendationsystem_tpu.parallel.mesh import (
     replicated,
 )
 from deeplearningrecommendationsystem_tpu.parallel.data import pad_and_shard
+from deeplearningrecommendationsystem_tpu.parallel.ep import (
+    EP_TABLE_KEYS,
+    EmbeddingPartitioning,
+    embedding_partitioning,
+    gather_rows,
+    shard_model_tables,
+    unshard_model_tables,
+)
 from deeplearningrecommendationsystem_tpu.parallel.embedding import (
     ShardedEmbedding,
     shard_table,
@@ -21,6 +29,12 @@ __all__ = [
     "replicated",
     "pad_and_shard",
     "ShardedEmbedding",
+    "EP_TABLE_KEYS",
+    "EmbeddingPartitioning",
+    "embedding_partitioning",
+    "gather_rows",
+    "shard_model_tables",
+    "unshard_model_tables",
     "shard_table",
     "sharded_gather",
     "sharded_gather_scatter",

@@ -4,6 +4,11 @@ from deeplearningrecommendationsystem_tpu.train.sparse import (
     RowwiseAdagradState,
     sparse_table_update,
 )
+from deeplearningrecommendationsystem_tpu.train.sparse_trainer import (
+    fit_minibatch_sparse,
+    merge_tables,
+    pop_tables,
+)
 from deeplearningrecommendationsystem_tpu.train.trainer import TrainConfig, Trainer, TrainResult
 
 __all__ = [
@@ -14,4 +19,7 @@ __all__ = [
     "LazyAdamState",
     "RowwiseAdagradState",
     "sparse_table_update",
+    "fit_minibatch_sparse",
+    "merge_tables",
+    "pop_tables",
 ]

@@ -33,6 +33,12 @@ import jax.numpy as jnp
 import optax
 
 from deeplearningrecommendationsystem_tpu.eval.pointwise import pointwise_metrics
+from deeplearningrecommendationsystem_tpu.parallel.ep import (
+    embedding_partitioning,
+    shard_model_tables,
+    unshard_model_tables,
+)
+from deeplearningrecommendationsystem_tpu.parallel.mesh import MODEL_AXIS
 from deeplearningrecommendationsystem_tpu.train.optim import torch_adam
 
 Batch = Any  # model-specific pytree: [B,45] features | (u,i) | (hist,target) | matrix
@@ -48,6 +54,11 @@ class TrainConfig:
     # forward/backward pass (f32 master weights, f32 loss); 'bfloat16' puts
     # the matmuls on the MXU's fast path. None = pure f32 (parity mode).
     compute_dtype: Optional[str] = None
+    # EP: a ('data', 'model') Mesh routes every id-table gather through the
+    # explicit shard_map collectives of parallel/embedding.py (tables
+    # row-sharded over the model axis; SURVEY.md §2.5). None = dense tables.
+    mesh: Any = None
+    ep_strategy: str = "psum"  # 'psum' | 'scatter' (parallel/ep.py)
 
 
 def _cast_floats(tree, dtype):
@@ -131,6 +142,16 @@ class Trainer:
         weights = weights or {}
         if params is None:
             params = self.model.init(rng)
+
+        # EP: row-shard the id tables over the mesh's model axis and activate
+        # the gather_rows routing for everything traced below (the scan, the
+        # per-epoch eval applies, and the post-scan extras).
+        ep_cfg = None
+        self.ep_table_heights = {}
+        if cfg.mesh is not None and cfg.mesh.shape.get(MODEL_AXIS, 1) > 1:
+            params, ep_cfg, self.ep_table_heights = shard_model_tables(
+                params, cfg.mesh, cfg.ep_strategy
+            )
         if opt_state is None:
             opt_state = self.tx.init(params)
 
@@ -170,22 +191,26 @@ class Trainer:
 
         # lax.scan compiles the epoch body once; the whole multi-epoch run is
         # a single device program with no per-epoch host dispatch.
-        (params, opt_state), history = jax.lax.scan(
-            epoch, (params, opt_state), None, length=cfg.epochs
-        )
+        with embedding_partitioning(ep_cfg):
+            (params, opt_state), history = jax.lax.scan(
+                epoch, (params, opt_state), None, length=cfg.epochs
+            )
 
-        extras: Dict[str, float] = {}
-        if track:
-            from deeplearningrecommendationsystem_tpu.eval.pointwise import true_auc
+            extras: Dict[str, float] = {}
+            if track:
+                from deeplearningrecommendationsystem_tpu.eval.pointwise import true_auc
 
-            for name, split in (("train", train), ("valid", valid), ("test", test)):
-                if split is None:
-                    continue
-                b, y = split
-                probs = jax.nn.sigmoid(self.model.apply(params, b))
-                extras[f"{name}_auc_raw"] = float(
-                    true_auc(y, probs, weights.get(name))
-                )
+                for name, split in (("train", train), ("valid", valid), ("test", test)):
+                    if split is None:
+                        continue
+                    b, y = split
+                    probs = jax.nn.sigmoid(self.model.apply(params, b))
+                    extras[f"{name}_auc_raw"] = float(
+                        true_auc(y, probs, weights.get(name))
+                    )
+        if ep_cfg is not None:
+            # dense serving layout: strip vocab padding, replicate
+            params = unshard_model_tables(params, self.ep_table_heights)
         return TrainResult(
             params=params, history=history, extras=extras, opt_state=opt_state
         )
