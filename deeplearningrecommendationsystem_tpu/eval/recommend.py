@@ -32,3 +32,23 @@ def full_ranking(scores: jnp.ndarray, seen: jnp.ndarray) -> jnp.ndarray:
     reference's sort-then-remove pipeline.
     """
     return jnp.argsort(-mask_seen(scores, seen), axis=1).astype(jnp.int32)
+
+
+def score_ranking(scores: jnp.ndarray) -> jnp.ndarray:
+    """Plain descending ranking [U, I] -- sort the catalog ONCE, then derive
+    any number of per-split filtered lists with :func:`seen_to_tail`."""
+    return jnp.argsort(-scores, axis=1).astype(jnp.int32)
+
+
+def seen_to_tail(rec_full: jnp.ndarray, seen: jnp.ndarray) -> jnp.ndarray:
+    """Move a split's seen items to the tail of a precomputed ranking.
+
+    A stable partition on the boolean seen flag preserves the score order
+    within each side -- exactly the reference's ``remove_itemid``
+    (data/reader.py:136-159) applied to the already-sorted list, without
+    re-sorting catalog scores per split (the float sort happens once in
+    :func:`score_ranking`; this is a cheap boolean-key sort).
+    """
+    flags = jnp.take_along_axis(seen, rec_full, axis=1)
+    order = jnp.argsort(flags, axis=1, stable=True)
+    return jnp.take_along_axis(rec_full, order, axis=1)

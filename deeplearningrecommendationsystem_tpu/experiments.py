@@ -13,11 +13,10 @@ Family mapping (SURVEY.md §2.4):
 * 'matrix'  -- masked autoencoders (autorec, i-autorec),
   pattern of scripts/autorec.py
 
-Deviation noted for parity review: the reference serves DIN/DIEN with each
-user's FULL variable-length history (model/din.py:55-66); a static-shape TPU
-pipeline serves with the same fixed ``hist_len`` used in training (left-pad /
-keep-first truncate), which is shape-stable and consistent with the training
-distribution.
+DIN/DIEN serving uses the reference's FULL variable-length history semantics
+(model/din.py:55-66) by default via the bucketed static-shape scorer
+(models/base.py::catalog_scores_full_history, oracle-tested); set
+``full_history_serving=False`` for the fixed training-window variant.
 """
 
 from __future__ import annotations
@@ -33,7 +32,11 @@ import numpy as np
 from deeplearningrecommendationsystem_tpu.configs.presets import PRESETS, ExperimentConfig
 from deeplearningrecommendationsystem_tpu.data.movielens import MovieLens100K, Split
 from deeplearningrecommendationsystem_tpu.eval.ranking import ranking_metrics
-from deeplearningrecommendationsystem_tpu.eval.recommend import full_ranking
+from deeplearningrecommendationsystem_tpu.eval.recommend import (
+    full_ranking,
+    score_ranking,
+    seen_to_tail,
+)
 from deeplearningrecommendationsystem_tpu.models import (
     AFM,
     AutoRec,
@@ -143,6 +146,10 @@ def run_experiment(
         from deeplearningrecommendationsystem_tpu.parallel import make_mesh
 
         mesh = make_mesh(data=cfg.mesh_shape[0], model=cfg.mesh_shape[1])
+    aux_loss_fn = None
+    if cfg.aux_weight > 0:
+        assert cfg.model == "dien", "aux_weight is the DIEN auxiliary-loss hook"
+        aux_loss_fn = lambda p, b: model.auxiliary_loss(p, b[0], b[2])  # noqa: E731
     trainer = Trainer(
         model,
         TrainConfig(
@@ -154,6 +161,8 @@ def run_experiment(
             mesh=mesh,
             ep_strategy=cfg.ep_strategy,
         ),
+        aux_loss_fn=aux_loss_fn,
+        aux_weight=cfg.aux_weight,
     )
     rng = jax.random.PRNGKey(cfg.seed)
 
@@ -201,6 +210,26 @@ def run_experiment(
                 )
             elif cfg.family == "seq":
                 batches[name] = _seq_batch(data, split, combined, cfg.hist_len)
+                if name == "train" and cfg.aux_weight > 0:
+                    # aux-loss negatives: per example, hist_len items this
+                    # user never interacted with (uniform, resampled where
+                    # they collide with seen pairs)
+                    users = np.asarray(combined["user"])
+                    rng_np = np.random.default_rng(cfg.seed + 17)
+                    neg = rng_np.integers(
+                        0, data.num_items, (len(users), cfg.hist_len)
+                    )
+                    for _ in range(4):
+                        bad = excluded[users[:, None], neg]
+                        if not bad.any():
+                            break
+                        neg = np.where(
+                            bad,
+                            rng_np.integers(0, data.num_items, neg.shape),
+                            neg,
+                        )
+                    (h, t), y = batches[name]
+                    batches[name] = ((h, t, jnp.asarray(neg)), y)
             else:
                 raise ValueError(cfg.family)
         train_examples = len(batches["train"][1])
@@ -208,6 +237,13 @@ def run_experiment(
             ctx = dataclasses.replace(
                 ctx, history=jnp.asarray(data.history_matrix(data.data, cfg.hist_len))
             )
+            if cfg.full_history_serving:
+                # reference serving scores each user's COMPLETE unpadded
+                # history (scripts/din.py:99-100 -> model/din.py:55-66)
+                padded = data.itemid_matrix(data.data)
+                ctx = dataclasses.replace(
+                    ctx, full_histories=[row[row >= 0] for row in padded]
+                )
 
     # ---- DP: pad each split to the data-axis size, zero-weight pad rows ----
     if mesh is not None and mesh.shape["data"] > 1:
@@ -263,9 +299,13 @@ def run_experiment(
         counts = {
             name: np.asarray((reals[name] >= 0).sum(1)) for name in reals
         }
+        # one float sort of the catalog scores; per-split lists are stable
+        # boolean partitions of it (= the reference's remove_itemid applied
+        # to the sorted list, eval/recommend.py::seen_to_tail)
+        rec_all = score_ranking(scores)
         for name, others in (("valid", ("train", "test")), ("test", ("train", "valid"))):
             seen = data.seen_mask(*(getattr(data, o) for o in others))
-            rec = full_ranking(scores, jnp.asarray(seen))
+            rec = seen_to_tail(rec_all, jnp.asarray(seen))
             n_seen = counts[others[0]] + counts[others[1]]
             for k_cut, suffix in ((cfg.k, ""), (10, "@10")):
                 m = ranking_metrics(

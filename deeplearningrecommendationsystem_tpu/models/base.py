@@ -19,7 +19,7 @@ scores to -inf before top-k (equivalent list semantics, SURVEY.md §7).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +33,10 @@ class ServingContext:
     item_features: jnp.ndarray  # [I, 19] genre flags
     history: Optional[jnp.ndarray] = None  # [U, L] behavior histories (DIN/DIEN)
     rating_matrix: Optional[jnp.ndarray] = None  # [U, I] (AutoRec)
+    # per-user COMPLETE variable-length histories (host-side ragged arrays);
+    # when set, DIN/DIEN serve with the reference's full-history semantics
+    # (model/din.py:55-66) via catalog_scores_full_history
+    full_histories: Optional[Any] = None
 
     @property
     def num_users(self) -> int:

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from deeplearningrecommendationsystem_tpu.models.base import (
     ServingContext,
     catalog_scores_from_history,
+    catalog_scores_full_history,
 )
 from deeplearningrecommendationsystem_tpu.ops.attention import din_attention_weights
 from deeplearningrecommendationsystem_tpu.ops.gru import augru, gru, gru_init
@@ -44,7 +45,7 @@ class DIEN:
         }
 
     def apply(self, params: dict, batch) -> jnp.ndarray:
-        hist, target = batch
+        hist, target = batch[0], batch[1]  # batch may carry neg_hist as [2]
         hist_e = gather_rows(params["item"], hist)  # [B, L, D]
         target_e = gather_rows(params["item"], target)  # [B, D]
         w = din_attention_weights(params["att"], hist_e, target_e)  # [B, L]
@@ -55,7 +56,36 @@ class DIEN:
         x = jnp.concatenate([interest, target_e], axis=-1)
         return mlp(params["fc"], x)[:, 0]
 
+    def apply_full(self, params: dict, batch) -> jnp.ndarray:
+        """Forward over right-padded histories with explicit valid lengths.
+
+        Exact reference serving semantics (model/dien.py:57-68 on the full
+        unpadded history): attention softmax masked to the true positions,
+        and the GRU's hidden state read at step ``length - 1`` -- with
+        RIGHT-padding those first ``length`` steps process exactly the true
+        sequence, so the state equals the reference's final hidden state.
+        """
+        hist, target, length = batch
+        hist_e = gather_rows(params["item"], hist)
+        target_e = gather_rows(params["item"], target)
+        mask = jnp.arange(hist.shape[1])[None, :] < length[:, None]
+        w = din_attention_weights(params["att"], hist_e, target_e, mask)
+        if self.use_augru:
+            states = augru(params["gru"], hist_e, w, return_sequence=True)
+        else:
+            states = gru(
+                params["gru"], hist_e * w[..., None], return_sequence=True
+            )  # [B, L, H]
+        idx = jnp.clip(length - 1, 0, hist.shape[1] - 1)
+        interest = jnp.take_along_axis(states, idx[:, None, None], axis=1)[:, 0]
+        x = jnp.concatenate([interest, target_e], axis=-1)
+        return mlp(params["fc"], x)[:, 0]
+
     def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
+        if ctx.full_histories is not None:
+            return catalog_scores_full_history(
+                self.apply_full, params, ctx.full_histories, self.num_items
+            )
         assert ctx.history is not None, "DIEN serving needs ctx.history"
         return catalog_scores_from_history(
             self.apply, params, ctx.history, self.num_items, tile=8

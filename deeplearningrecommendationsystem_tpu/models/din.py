@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from deeplearningrecommendationsystem_tpu.models.base import (
     ServingContext,
     catalog_scores_from_history,
+    catalog_scores_full_history,
 )
 from deeplearningrecommendationsystem_tpu.ops.attention import attention_pool
 from deeplearningrecommendationsystem_tpu.ops.linear import embedding_init, mlp, mlp_init
@@ -69,7 +70,28 @@ class DIN:
     def apply(self, params: dict, batch) -> jnp.ndarray:
         return self._apply(params, batch, use_pallas=False)
 
+    def apply_full(self, params: dict, batch) -> jnp.ndarray:
+        """Forward over right-padded histories with explicit valid lengths.
+
+        Masked softmax over the first ``length`` positions is exactly the
+        reference's softmax over the unpadded history (model/din.py:39-47):
+        pad positions get weight 0 in both the normalizer and the pooled sum.
+        """
+        hist, target, length = batch  # [B, L], [B], [B]
+        hist_e = gather_rows(params["item"], hist)
+        target_e = gather_rows(params["item"], target)
+        mask = jnp.arange(hist.shape[1])[None, :] < length[:, None]
+        pooled = attention_pool(params["att"], hist_e, target_e, mask)
+        x = jnp.concatenate([pooled, target_e], axis=-1)
+        return mlp(params["fc"], x)[:, 0]
+
     def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
+        if ctx.full_histories is not None:
+            # reference semantics: each user's complete variable-length
+            # history (model/din.py:55-66), bucketed for static shapes
+            return catalog_scores_full_history(
+                self.apply_full, params, ctx.full_histories, self.num_items
+            )
         assert ctx.history is not None, "DIN serving needs ctx.history"
         fn = (
             (lambda p, b: self._apply(p, b, use_pallas=True))

@@ -74,11 +74,17 @@ def gru(
 
 
 def augru(
-    p: dict, xs: jnp.ndarray, att: jnp.ndarray, h0: Optional[jnp.ndarray] = None
+    p: dict,
+    xs: jnp.ndarray,
+    att: jnp.ndarray,
+    h0: Optional[jnp.ndarray] = None,
+    return_sequence: bool = False,
 ) -> jnp.ndarray:
     """AUGRU: the update gate is scaled by the attention score a_t.
 
-    xs [B, L, D], att [B, L] -> final hidden [B, H].
+    xs [B, L, D], att [B, L] -> final hidden [B, H] (or all states [B, L, H]
+    when ``return_sequence`` -- used by variable-length serving to read the
+    state at each user's true final step).
     """
     B = xs.shape[0]
     H = p["w_hh"].shape[0]
@@ -90,9 +96,11 @@ def augru(
         z, n = _gates(p, x_t, h)
         z = a_t[:, None] * z
         h_new = (1.0 - z) * h + z * n
-        return h_new, None
+        return h_new, h_new if return_sequence else None
 
-    h_final, _ = jax.lax.scan(
+    h_final, seq = jax.lax.scan(
         step, h0, (jnp.swapaxes(xs, 0, 1), jnp.swapaxes(att, 0, 1))
     )
+    if return_sequence:
+        return jnp.swapaxes(seq, 0, 1)
     return h_final

@@ -94,12 +94,20 @@ def _bce_with_logits(logits, labels, weights=None):
 
 
 class Trainer:
-    """Drives a model's full-batch training with jit-compiled epoch scans."""
+    """Drives a model's full-batch training with jit-compiled epoch scans.
 
-    def __init__(self, model, config: TrainConfig):
+    ``aux_loss_fn(params, batch) -> scalar`` (optional) is added to the BCE as
+    ``loss = bce + aux_weight * aux`` -- the composite-loss hook used by the
+    DIEN auxiliary loss extension (models/dien.py::auxiliary_loss; absent in
+    the reference, /root/reference/model/dien.py:47,61).
+    """
+
+    def __init__(self, model, config: TrainConfig, aux_loss_fn=None, aux_weight=1.0):
         self.model = model
         self.config = config
         self.tx = torch_adam(config.learning_rate, config.weight_decay)
+        self.aux_loss_fn = aux_loss_fn
+        self.aux_weight = aux_weight
 
     # -- single step (also used by benchmarks and the sharded path) --------
     def loss_fn(self, params, batch: Batch, labels, weights=None):
@@ -110,7 +118,10 @@ class Trainer:
             ).astype(jnp.float32)
         else:
             logits = self.model.apply(params, batch)
-        return _bce_with_logits(logits, labels, weights), logits
+        loss = _bce_with_logits(logits, labels, weights)
+        if self.aux_loss_fn is not None:
+            loss = loss + self.aux_weight * self.aux_loss_fn(params, batch)
+        return loss, logits
 
     def train_step(self, params, opt_state, batch: Batch, labels, weights=None):
         (loss, logits), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(

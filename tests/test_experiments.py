@@ -44,9 +44,20 @@ def test_lr_feature_family(ml100k):
 
 
 def test_din_seq_family(ml100k):
-    res = run("din", ml100k, epochs=3, negatives=(5, 3, 3))
+    # fixed-window serving here (CPU-fast); full-history serving is
+    # oracle-tested in test_full_history.py and integration-tested below
+    res = run("din", ml100k, epochs=3, negatives=(5, 3, 3), full_history_serving=False)
     check_history(res, 3)
     assert res.ranking["test"]["recall"] >= 0
+
+
+@pytest.mark.slow
+def test_din_full_history_serving_ml100k(ml100k):
+    """Reference-semantics serving (complete variable-length histories,
+    model/din.py:55-66) through the whole experiment pipeline."""
+    res = run("din", ml100k, epochs=2, negatives=(5, 3, 3))
+    assert res.ranking["test"]["recall"] >= 0
+    assert np.isfinite(res.history["train_loss"]).all()
 
 
 def test_autorec_matrix_family(ml100k):

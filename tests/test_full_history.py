@@ -1,0 +1,129 @@
+"""Full-variable-history DIN/DIEN serving vs a naive per-user oracle.
+
+The reference scores each user's COMPLETE unpadded history at serving time
+(/root/reference/model/din.py:55-66, invoked with the all-splits history by
+scripts/din.py:99-100). The bucketed scorer
+(models/base.py::catalog_scores_full_history) must reproduce those lists
+exactly: per user, run the model on the exact-length history (no padding, no
+mask) -- the oracle -- and compare scores and top-K lists.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeplearningrecommendationsystem_tpu.models import DIEN, DIN
+from deeplearningrecommendationsystem_tpu.models.base import (
+    ServingContext,
+    catalog_scores_full_history,
+)
+
+
+def _histories(U, I, seed=0, max_len=37):
+    rng = np.random.default_rng(seed)
+    return [
+        rng.integers(0, I, rng.integers(1, max_len + 1)).astype(np.int32)
+        for _ in range(U)
+    ]
+
+
+def _oracle_scores(model, params, histories, num_items):
+    """Per user: forward the EXACT-length history against every item --
+    literally the reference's loop (model/din.py:55-66), no padding at all."""
+    out = []
+    targets = jnp.arange(num_items, dtype=jnp.int32)
+    for h in histories:
+        hist = jnp.broadcast_to(jnp.asarray(h)[None, :], (num_items, len(h)))
+        out.append(np.asarray(model.apply(params, (hist, targets))))
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("buckets", [(8, 16, 64), (40,)])
+def test_din_full_history_matches_oracle(buckets):
+    U, I = 13, 50
+    model = DIN(num_items=I, embed_size=8, attention_units=(16, 1), fc_units=(16, 1))
+    params = model.init(jax.random.PRNGKey(0))
+    histories = _histories(U, I)
+
+    got = np.asarray(
+        catalog_scores_full_history(
+            model.apply_full, params, histories, I, buckets=buckets
+        )
+    )
+    want = _oracle_scores(model, params, histories, I)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # identical top-K lists
+    np.testing.assert_array_equal(
+        np.argsort(-got, axis=1)[:, :10], np.argsort(-want, axis=1)[:, :10]
+    )
+
+
+@pytest.mark.parametrize("use_augru", [False, True])
+def test_dien_full_history_matches_oracle(use_augru):
+    """DIEN: the GRU state must be read at each user's true final step --
+    right-padding + state-gather equals the reference's exact-length run."""
+    U, I = 9, 40
+    model = DIEN(
+        num_items=I, embed_size=8, attention_units=(16, 1), fc_units=(16, 1),
+        use_augru=use_augru,
+    )
+    params = model.init(jax.random.PRNGKey(1))
+    histories = _histories(U, I, seed=3, max_len=21)
+
+    got = np.asarray(
+        catalog_scores_full_history(
+            model.apply_full, params, histories, I, buckets=(8, 32)
+        )
+    )
+    want = _oracle_scores(model, params, histories, I)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_score_catalog_dispatches_on_full_histories():
+    U, I = 6, 30
+    model = DIN(num_items=I, embed_size=8, attention_units=(8, 1), fc_units=(8, 1))
+    params = model.init(jax.random.PRNGKey(2))
+    histories = _histories(U, I, seed=5, max_len=12)
+    ctx = ServingContext(
+        user_features=jnp.zeros((U, 24)),
+        item_features=jnp.zeros((I, 19)),
+        full_histories=histories,
+    )
+    got = np.asarray(model.score_catalog(params, ctx))
+    want = _oracle_scores(model, params, histories, I)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_full_history_bucket_boundaries():
+    """Lengths exactly at bucket edges and the smallest (1) length."""
+    I = 25
+    model = DIN(num_items=I, embed_size=4, attention_units=(8, 1), fc_units=(8, 1))
+    params = model.init(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(7)
+    histories = [
+        rng.integers(0, I, n).astype(np.int32) for n in (1, 8, 9, 16, 17, 16, 8, 1)
+    ]
+    got = np.asarray(
+        catalog_scores_full_history(
+            model.apply_full, params, histories, I, buckets=(8, 16)
+        )
+    )
+    want = _oracle_scores(model, params, histories, I)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_item_zero_in_history_not_masked():
+    """Item id 0 is a real item; the length mask (not a zero-id heuristic)
+    must keep it, including when the history STARTS with item 0."""
+    I = 20
+    model = DIN(num_items=I, embed_size=4, attention_units=(8, 1), fc_units=(8, 1))
+    params = model.init(jax.random.PRNGKey(4))
+    histories = [np.array([0, 3, 0, 5], np.int32), np.array([0], np.int32)]
+    got = np.asarray(
+        catalog_scores_full_history(
+            model.apply_full, params, histories, I, buckets=(8,)
+        )
+    )
+    want = _oracle_scores(model, params, histories, I)
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -119,3 +119,27 @@ def test_standard_mode_sane():
     m = ranking_metrics(actual, rec_full, k, reference_mode=False)
     for v in m.values():
         assert 0.0 <= float(v) <= 1.0
+
+
+def test_seen_to_tail_equals_full_ranking():
+    """One score sort + stable boolean partition == per-split masked re-sort
+    over the unseen prefix (the part every metric reads)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deeplearningrecommendationsystem_tpu.eval.recommend import (
+        full_ranking,
+        score_ranking,
+        seen_to_tail,
+    )
+
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.normal(size=(7, 23)).astype(np.float32))
+    seen = jnp.asarray(rng.random((7, 23)) < 0.3)
+    a = np.asarray(full_ranking(scores, seen))
+    b = np.asarray(seen_to_tail(score_ranking(scores), seen))
+    n_unseen = np.asarray((~np.asarray(seen)).sum(1))
+    for u in range(7):
+        np.testing.assert_array_equal(a[u, : n_unseen[u]], b[u, : n_unseen[u]])
+        # tail holds exactly the seen items in both
+        assert set(a[u, n_unseen[u]:]) == set(b[u, n_unseen[u]:])
