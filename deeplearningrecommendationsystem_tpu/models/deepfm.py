@@ -39,6 +39,7 @@ class DeepFM:
     embedding_dim: int = 128
     robust_init: bool = False  # see models/widedeep.py: revive-at-init for the
     # ReLU-terminated deep tower (parity mode keeps the faithful fragile init)
+    f32_fm: bool = True  # keep the FM sum-square term in f32 under bf16 compute
 
     def init(self, key: jax.Array) -> dict:
         ks = jax.random.split(key, 5)
@@ -63,8 +64,17 @@ class DeepFM:
             params["deep"],
             linear(params["deep_in"], fields.reshape(fields.shape[0], -1)),
         )
-        fm = linear_part(params["fm_linear"], x, self.spec) + fm_cross_term(fields)[:, None]
-        return linear(params["out"], jnp.concatenate([fm, deep], axis=-1))[:, 0]
+        # selective precision: the FM sum-square identity cancels large terms
+        # and loses signal in bf16 (BF16_QUALITY.json); keep it in f32 -- it
+        # is O(B*F*D) elementwise, the MXU-bound deep tower stays in the
+        # compute dtype.
+        fm_fields = fields.astype(jnp.float32) if self.f32_fm else fields
+        fm = (
+            linear_part(params["fm_linear"], x, self.spec).astype(fm_fields.dtype)
+            + fm_cross_term(fm_fields)[:, None]
+        )
+        out = jnp.concatenate([fm.astype(deep.dtype), deep], axis=-1)
+        return linear(params["out"], out)[:, 0]
 
     def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
         return catalog_scores_from_features(self.apply, params, ctx)

@@ -24,6 +24,7 @@ from deeplearningrecommendationsystem_tpu.models.base import (
 from deeplearningrecommendationsystem_tpu.ops.attention import din_attention_weights
 from deeplearningrecommendationsystem_tpu.ops.gru import augru, gru, gru_init
 from deeplearningrecommendationsystem_tpu.ops.linear import embedding_init, mlp, mlp_init
+from deeplearningrecommendationsystem_tpu.ops.embedding import gather_matmul_bwd
 from deeplearningrecommendationsystem_tpu.parallel.ep import gather_rows
 
 
@@ -34,6 +35,8 @@ class DIEN:
     attention_units: Tuple[int, ...] = (64, 32, 1)
     fc_units: Tuple[int, ...] = (128, 64, 1)
     use_augru: bool = False
+    # see models/din.py: one-hot-matmul backward for the item-table gathers
+    matmul_gather_bwd: bool = False
 
     def init(self, key: jax.Array) -> dict:
         ke, ka, kg, kf = jax.random.split(key, 4)
@@ -46,8 +49,9 @@ class DIEN:
 
     def apply(self, params: dict, batch) -> jnp.ndarray:
         hist, target = batch[0], batch[1]  # batch may carry neg_hist as [2]
-        hist_e = gather_rows(params["item"], hist)  # [B, L, D]
-        target_e = gather_rows(params["item"], target)  # [B, D]
+        gather = gather_matmul_bwd if self.matmul_gather_bwd else gather_rows
+        hist_e = gather(params["item"], hist)  # [B, L, D]
+        target_e = gather(params["item"], target)  # [B, D]
         w = din_attention_weights(params["att"], hist_e, target_e)  # [B, L]
         if self.use_augru:
             interest = augru(params["gru"], hist_e, w)

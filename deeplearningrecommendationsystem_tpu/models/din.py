@@ -23,6 +23,7 @@ from deeplearningrecommendationsystem_tpu.models.base import (
 )
 from deeplearningrecommendationsystem_tpu.ops.attention import attention_pool
 from deeplearningrecommendationsystem_tpu.ops.linear import embedding_init, mlp, mlp_init
+from deeplearningrecommendationsystem_tpu.ops.embedding import gather_matmul_bwd
 from deeplearningrecommendationsystem_tpu.parallel.ep import gather_rows
 
 
@@ -36,6 +37,10 @@ class DIN:
     # serve with the fused Pallas attention kernel (forward-only; training
     # keeps the differentiable XLA path)
     pallas_serving: bool = False
+    # backward of the item-table gathers as a one-hot MXU matmul instead of
+    # TPU's serialized scatter-add (ops/embedding.py::gather_matmul_bwd);
+    # right for small vocabs, single-chip (bypasses EP routing)
+    matmul_gather_bwd: bool = False
 
     def init(self, key: jax.Array) -> dict:
         ke, ka, kf = jax.random.split(key, 3)
@@ -47,8 +52,9 @@ class DIN:
 
     def _apply(self, params: dict, batch, use_pallas: bool) -> jnp.ndarray:
         hist, target = batch  # [B, L] int, [B] int
-        hist_e = gather_rows(params["item"], hist)  # [B, L, D]
-        target_e = gather_rows(params["item"], target)  # [B, D]
+        gather = gather_matmul_bwd if self.matmul_gather_bwd else gather_rows
+        hist_e = gather(params["item"], hist)  # [B, L, D]
+        target_e = gather(params["item"], target)  # [B, D]
         mask = None
         if self.mask_padding:
             # valid = positions after the leading zero-pad run; item 0 can

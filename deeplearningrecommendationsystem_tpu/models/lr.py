@@ -31,3 +31,20 @@ class LogisticRegression:
 
     def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
         return catalog_scores_from_features(self.apply, params, ctx)
+
+    def serving_factors(self, params: dict, ctx: ServingContext):
+        """LR's pair score is rank-1 separable: score(u, i) = u_part[u] +
+        i_part[i] (bias tables + the wide linear split into its user-feature
+        and genre column blocks), so serving is ``[u_part, 1] @ [1, i_part]^T``
+        -- one fused Pallas top-k pass, no [U, I] materialization."""
+        w, b = params["wide"]["w"][:, 0], params["wide"]["b"][0]
+        n_user_cols = ctx.user_features.shape[1]  # age + gender + occupation
+        u_part = (
+            params["user_bias"][:, 0]
+            + ctx.user_features @ w[:n_user_cols]
+            + b
+        )
+        i_part = params["item_bias"][:, 0] + ctx.item_features @ w[n_user_cols:]
+        ones_u = jnp.ones_like(u_part)
+        ones_i = jnp.ones_like(i_part)
+        return jnp.stack([u_part, ones_u], 1), jnp.stack([ones_i, i_part], 1)

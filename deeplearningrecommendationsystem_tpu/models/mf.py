@@ -39,6 +39,12 @@ class MatrixFactorization:
     def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
         return params["user"] @ params["item"].T
 
+    def serving_factors(self, params: dict, ctx: ServingContext):
+        """(P, Q) with scores == P @ Q^T -- feeds the fused Pallas
+        score+mask+top-k serving kernel (ops/pallas/serving_topk.py) without
+        materializing the [U, I] score matrix."""
+        return params["user"], params["item"]
+
     # -- sparse/production protocol (train/sparse_trainer.py) ---------------
     # Row-sparse optimizers differentiate w.r.t. the GATHERED rows so a
     # minibatch step never materializes a full-vocab gradient (the reference's

@@ -37,6 +37,8 @@ class NFM:
     embedding_dim: int = 128
     robust_init: bool = False  # see models/widedeep.py: revive-at-init for the
     # ReLU-terminated deep tower (parity mode keeps the faithful fragile init)
+    f32_cross: bool = True  # keep bi-interaction (sum-square cancellation)
+    # in f32 under bf16 compute; the MLP stays in the compute dtype
 
     def init(self, key: jax.Array) -> dict:
         ks = jax.random.split(key, 5)
@@ -54,7 +56,10 @@ class NFM:
     def apply(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
         e = embed_fields(params["tables"], x, self.spec)
         fields = jnp.stack([e[f] for f in FIELDS], axis=1)  # [B, 6, D]
-        cross = bi_interaction(fields)  # [B, D]
+        if self.f32_cross:
+            cross = bi_interaction(fields.astype(jnp.float32)).astype(fields.dtype)
+        else:
+            cross = bi_interaction(fields)  # [B, D]
         deep = relu_stack(params["deep"], linear(params["deep_in"], cross))
         wide = linear_part(params["wide"], x, self.spec)
         return linear(params["out"], jnp.concatenate([wide, deep], axis=-1))[:, 0]

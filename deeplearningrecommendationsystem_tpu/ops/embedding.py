@@ -64,6 +64,51 @@ def embed_fields(
     return out
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gather_mm(vocab: int, dtype_name: str, table: jax.Array, ids: jax.Array):
+    return table[ids]
+
+
+def _gather_mm_fwd(vocab, dtype_name, table, ids):
+    return table[ids], ids
+
+
+def _gather_mm_bwd(vocab, dtype_name, ids, g):
+    flat_ids = ids.reshape(-1)
+    flat_g = g.reshape(-1, g.shape[-1])
+    onehot = (
+        flat_ids[:, None] == jax.lax.broadcasted_iota(flat_ids.dtype, (1, vocab), 1)
+    ).astype(flat_g.dtype)
+    dtable = jax.lax.dot_general(
+        onehot, flat_g,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dtable.astype(dtype_name), None
+
+
+_gather_mm.defvjp(_gather_mm_fwd, _gather_mm_bwd)
+
+
+def gather_matmul_bwd(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """``table[ids]`` whose BACKWARD is a one-hot matmul instead of scatter-add.
+
+    TPU scatter lowers to a serialized per-update loop, which dominates the
+    train step when a [B, L] batch writes ~1M row-gradients into a small
+    table (DIN/DIEN: 879k updates into 1682 rows). The cotangent
+    ``onehot(ids)^T @ g`` is one MXU matmul with the one-hot fused into the
+    dot operand by XLA -- O(N * V * D) FLOPs but at MXU rate, beating the
+    serialized scatter for small vocabs (use for vocab <~ 8k; at large vocab
+    the FLOPs lose and train/sparse.py's row updates are the right tool).
+    Forward and the f32-accumulated backward are numerically equal to the
+    gather/scatter pair (summation order aside).
+    """
+    return _gather_mm(table.shape[0], str(table.dtype), table, ids)
+
+
 def bias_embedding_init(key: jax.Array, num: int, dtype=jnp.float32) -> jax.Array:
     """[num, 1] xavier-normal bias table (the reference's 1-dim id embeddings
     used in every wide/linear part, e.g. model/lr.py:15-16)."""

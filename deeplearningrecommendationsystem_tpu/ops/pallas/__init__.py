@@ -12,9 +12,15 @@ from deeplearningrecommendationsystem_tpu.ops.pallas.afm_attention import (
     afm_attention_pool_pallas,
 )
 from deeplearningrecommendationsystem_tpu.ops.pallas.gather import gather_rows_pallas
+from deeplearningrecommendationsystem_tpu.ops.pallas.serving_topk import (
+    topk_scores_pallas,
+    topk_serve_matmul,
+)
 
 __all__ = [
     "din_attention_pool_pallas",
     "afm_attention_pool_pallas",
     "gather_rows_pallas",
+    "topk_scores_pallas",
+    "topk_serve_matmul",
 ]

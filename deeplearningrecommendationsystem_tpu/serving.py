@@ -28,11 +28,13 @@ class Recommender:
         params,
         ctx: ServingContext,
         seen: Optional[np.ndarray] = None,  # [U, I] bool: items to exclude
+        use_pallas: bool = True,  # fused serving kernel on TPU backends
     ):
         self.model = model
         self.params = params
         self.ctx = ctx
         self.seen = jnp.asarray(seen) if seen is not None else None
+        self.use_pallas = use_pallas
         self._scores: Optional[jax.Array] = None
 
     @classmethod
@@ -61,7 +63,35 @@ class Recommender:
         return self._scores
 
     def top_k(self, k: int, users: Optional[Sequence[int]] = None) -> np.ndarray:
-        """[len(users), k] recommended item ids (all users by default)."""
+        """[len(users), k] recommended item ids (all users by default).
+
+        On TPU this runs the fused Pallas score+mask+top-k kernel
+        (ops/pallas/serving_topk.py): models exposing ``serving_factors``
+        (MF, LR) never materialize the [U, I] score matrix; others fuse
+        mask+top-k over the cached scores. ``use_pallas=False`` forces the
+        XLA ``lax.top_k`` path.
+        """
+        if self.use_pallas and jax.default_backend() == "tpu" and k <= 128:
+            from deeplearningrecommendationsystem_tpu.ops.pallas import (
+                topk_scores_pallas,
+                topk_serve_matmul,
+            )
+
+            if hasattr(self.model, "serving_factors"):
+                P, Q = self.model.serving_factors(self.params, self.ctx)
+                seen = self.seen
+                if seen is None:
+                    seen = jnp.zeros((P.shape[0], Q.shape[0]), jnp.int8)
+                if users is not None:
+                    u = jnp.asarray(users)
+                    P, seen = P[u], seen[u]
+                _, idx = topk_serve_matmul(P, Q, seen, k=k)
+                return np.asarray(idx)
+            s = self.scores  # seen already masked at refresh
+            if users is not None:
+                s = s[jnp.asarray(users)]
+            _, idx = topk_scores_pallas(s, jnp.zeros(s.shape, jnp.int8), k=k)
+            return np.asarray(idx)
         s = self.scores
         if users is not None:
             s = s[jnp.asarray(users)]

@@ -73,3 +73,71 @@ def test_decomposed_din_attention_equals_literal_concat():
 
     got = din_attention_weights(att, hist, tgt)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_serving_topk_matmul_matches_lax_topk():
+    """Fused score+mask+top-k == matmul -> mask -> lax.top_k, exactly
+    (values AND tie-broken indices), incl. non-aligned U/I padding."""
+    from deeplearningrecommendationsystem_tpu.ops.pallas import topk_serve_matmul
+
+    rng = np.random.default_rng(1)
+    U, I, D, k = 70, 300, 16, 10
+    P = jnp.asarray(rng.normal(size=(U, D)).astype(np.float32))
+    Q = jnp.asarray(rng.normal(size=(I, D)).astype(np.float32))
+    seen = jnp.asarray(rng.random((U, I)) < 0.3)
+    want_v, want_i = jax.lax.top_k(jnp.where(seen, -1e30, P @ Q.T), k)
+    got_v, got_i = topk_serve_matmul(P, Q, seen, k=k, tile=16, chunk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_serving_topk_scores_variant_and_ties():
+    from deeplearningrecommendationsystem_tpu.ops.pallas import topk_scores_pallas
+
+    rng = np.random.default_rng(2)
+    U, I, k = 33, 400, 7
+    # quantized scores force ties -> exercises first-lane tie-breaking
+    scores = jnp.asarray(np.round(rng.normal(size=(U, I)) * 2).astype(np.float32))
+    seen = jnp.asarray(rng.random((U, I)) < 0.2)
+    want_v, want_i = jax.lax.top_k(jnp.where(seen, -1e30, scores), k)
+    got_v, got_i = topk_scores_pallas(scores, seen, k=k, tile=16, chunk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_serving_topk_lr_factorization(ml100k):
+    """LR's rank-1 serving_factors reproduce its catalog scores."""
+    from deeplearningrecommendationsystem_tpu.features import ML100K_SPEC
+    from deeplearningrecommendationsystem_tpu.models import LogisticRegression
+    from deeplearningrecommendationsystem_tpu.models.base import ServingContext
+
+    model = LogisticRegression(ML100K_SPEC)
+    params = model.init(jax.random.PRNGKey(0))
+    ctx = ServingContext(
+        user_features=jnp.asarray(ml100k.user_features),
+        item_features=jnp.asarray(ml100k.item_features),
+    )
+    P, Q = model.serving_factors(params, ctx)
+    np.testing.assert_allclose(
+        np.asarray(P @ Q.T),
+        np.asarray(model.score_catalog(params, ctx)),
+        atol=1e-4,
+    )
+
+
+def test_gather_matmul_bwd_grads_match_scatter():
+    """One-hot-matmul backward == the gather's native scatter-add gradient."""
+    from deeplearningrecommendationsystem_tpu.ops.embedding import gather_matmul_bwd
+
+    rng = np.random.default_rng(3)
+    V, D = 37, 8
+    table = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, V, (11, 5)))  # [B, L] with repeats
+    cot = jnp.asarray(rng.normal(size=(11, 5, D)).astype(np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(gather_matmul_bwd(table, ids)), np.asarray(table[ids]), atol=0
+    )
+    g_mm = jax.grad(lambda t: jnp.sum(gather_matmul_bwd(t, ids) * cot))(table)
+    g_sc = jax.grad(lambda t: jnp.sum(t[ids] * cot))(table)
+    np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_sc), atol=1e-5)

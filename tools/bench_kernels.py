@@ -48,8 +48,35 @@ def timeit(fn, *args, iters=20):
 
 
 def main():
-    results = {}
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--only", nargs="+",
+        default=["din", "afm", "gather", "topk"],
+        help="kernels to bench: din afm gather topk",
+    )
+    args = ap.parse_args()
+    try:
+        with open("KERNEL_BENCH.json") as f:
+            results = json.load(f)
+    except FileNotFoundError:
+        results = {}
     key = jax.random.PRNGKey(0)
+
+    if "topk" in args.only:
+        bench_serving_topk(results, key, "ml100k")
+        with open("KERNEL_BENCH.json", "w") as f:
+            json.dump(results, f, indent=2)
+        bench_serving_topk(results, key, "synthetic")
+        with open("KERNEL_BENCH.json", "w") as f:
+            json.dump(results, f, indent=2)
+
+    if "din" not in args.only:
+        print(json.dumps(results, indent=2))
+        with open("KERNEL_BENCH.json", "w") as f:
+            json.dump(results, f, indent=2)
+        return
 
     # --- DIN attention: serving-shaped batch (user-tile x catalog) ---
     B, L, D = 64 * 1682, 10, 64
@@ -115,6 +142,49 @@ def main():
     print(json.dumps(results, indent=2))
     with open("KERNEL_BENCH.json", "w") as f:
         json.dump(results, f, indent=2)
+
+
+def bench_serving_topk(results, key, scale: str):
+    """Fused score+mask+top-k (ops/pallas/serving_topk.py) vs the XLA path
+    (matmul -> mask -> lax.top_k). ml-100k shape and a synthetic catalog."""
+    from deeplearningrecommendationsystem_tpu.ops.pallas import topk_serve_matmul
+
+    if scale == "ml100k":
+        U, I, D, k = 943, 1682, 64, 50
+        tile, chunk = 256, 512
+    else:
+        U, I, D, k = 2048, 131072, 64, 50
+        tile, chunk = 256, 1024
+    k1, k2, k3 = jax.random.split(key, 3)
+    P = jax.random.normal(k1, (U, D))
+    Q = jax.random.normal(k2, (I, D))
+    seen = jax.random.uniform(k3, (U, I)) < 0.05
+
+    def xla_fn(P, Q, seen):
+        scores = jnp.where(seen, -1e30, P @ Q.T)
+        return jax.lax.top_k(scores, k)
+
+    xla = jax.jit(xla_fn)
+    pal = jax.jit(
+        lambda P, Q, s: topk_serve_matmul(P, Q, s, k=k, tile=tile, chunk=chunk)
+    )
+    # correctness on-chip before timing
+    (xv, xi), (pv, pi) = xla(P, Q, seen), pal(P, Q, seen)
+    assert jnp.allclose(xv, pv, atol=1e-4), "serving_topk values mismatch"
+    assert jnp.array_equal(xi, pi), "serving_topk indices mismatch"
+    t_x = timeit(xla, P, Q, seen)
+    t_p = timeit(pal, P, Q, seen)
+    # SoL: must read P, Q, seen(int8 on the pallas path) + write [U, k] * 2
+    bytes_min = P.nbytes + Q.nbytes + U * I + U * k * 8
+    results[f"serving_topk_{scale}"] = {
+        "shape": [U, I, D, k],
+        "xla_ms": t_x * 1e3,
+        "pallas_ms": t_p * 1e3,
+        "speedup": t_x / t_p,
+        "sol_ms_hbm_bound": bytes_min / (HBM_GBPS * 1e9) * 1e3,
+        "pallas_pct_of_sol": (bytes_min / (HBM_GBPS * 1e9)) / t_p * 100,
+    }
+    print(f"serving_topk_{scale}", results[f"serving_topk_{scale}"], flush=True)
 
 
 if __name__ == "__main__":

@@ -95,7 +95,43 @@ def main():
             f"{nd} devices: {eps:,.0f} ex/s total, {per_dev:,.0f}/device, "
             f"efficiency {per_dev / base:.1%}"
         )
-    payload = {"backend": jax.default_backend(), "results": results}
+    # analytic v5e model of the same step (runtime/scaling_model.py): XLA's
+    # compiled cost analysis for compute/HBM + ring-allreduce ICI term, so a
+    # real pod run lands next to its expected curve in this JSON
+    from deeplearningrecommendationsystem_tpu.runtime.scaling_model import (
+        grad_bytes_of,
+        predict_weak_scaling,
+        program_costs,
+    )
+
+    model = DeepFM(ML100K_SPEC, hidden_units=(256, 128, 1), embedding_dim=64)
+    trainer = Trainer(
+        model, TrainConfig(learning_rate=1e-3, epochs=1, track_metrics=False)
+    )
+    x, y = fake_batch(args.per_device_batch)
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = trainer.tx.init(params)
+    try:
+        costs = program_costs(
+            lambda p, o, b, yy: trainer.train_step(p, o, b, yy),
+            params, opt_state, x, y,
+        )
+        gbytes = grad_bytes_of(params)
+        predicted = {
+            nd: predict_weak_scaling(
+                costs["flops"], costs["hbm_bytes"], gbytes, nd
+            )
+            for nd in args.devices
+        }
+    except Exception as e:  # noqa: BLE001 -- cost analysis is backend-dependent
+        costs, predicted = {"error": str(e)[:200]}, {}
+
+    payload = {
+        "backend": jax.default_backend(),
+        "results": results,
+        "per_device_step_cost_analysis": costs,
+        "v5e_model_predicted": predicted,
+    }
     if jax.default_backend() == "cpu":
         payload["note"] = (
             "virtual CPU mesh: all devices share this host's "

@@ -65,6 +65,34 @@ def main():
     results["din_serving_all_users_s"] = per_user * data.num_users
     print(f"din serving: {per_user*1e3:.1f} ms/user -> {per_user*943:.1f}s for all users")
 
+    # NeuralCF: per-user Python loop scoring the catalog (model/neuralcf.py:61-72)
+    from model.neuralcf import NeuralCF
+
+    ncf = NeuralCF(data.num_users, data.num_items, 256, [512, 256, 128, 64, 32])
+    ncf.eval()
+    with torch.no_grad():
+        t0 = time.perf_counter()
+        ncf.recommendation(SAMPLE_USERS, data.num_items)
+        dt = time.perf_counter() - t0
+    per_user = dt / SAMPLE_USERS
+    results["neuralcf_serving_all_users_s"] = per_user * data.num_users
+    print(f"neuralcf serving: {per_user*1e3:.1f} ms/user -> {per_user*943:.1f}s for all users")
+
+    # AutoRec: one full-matrix forward + topk (model/autorec.py:16-19)
+    from model.autorec import AutoRec
+
+    ar = AutoRec(data.num_items, 256)
+    ar.eval()
+    matrix = torch.rand(data.num_users, data.num_items)
+    with torch.no_grad():
+        ar.recommendation(matrix, data.num_items)  # warm
+        t0 = time.perf_counter()
+        for _ in range(10):
+            ar.recommendation(matrix, data.num_items)
+        dt = (time.perf_counter() - t0) / 10
+    results["autorec_serving_all_users_s"] = dt
+    print(f"autorec serving (matmul path): {dt*1e3:.1f} ms for all users")
+
     # MF: vectorized matmul path (model/mf.py:28-35) -- the reference's best case
     mf = MatrixFactorization(data.num_users, data.num_items, 64)
     mf.eval()
