@@ -57,6 +57,17 @@ def main(argv=None) -> int:
         default="psum",
         help="EP gather strategy: masked-gather+psum or id-all_gather+psum_scatter",
     )
+    ap.add_argument(
+        "--train-mode",
+        choices=["fullbatch", "minibatch", "sparse"],
+        help="fullbatch = reference parity regime; minibatch = shuffled SGD; "
+        "sparse = minibatch with row-sparse embedding updates (mf/deepfm)",
+    )
+    ap.add_argument("--batch-size", type=int, help="minibatch/sparse batch size")
+    ap.add_argument(
+        "--sparse-optimizer", choices=["lazy_adam", "rowwise_adagrad"],
+        help="row optimizer for --train-mode sparse",
+    )
     ap.add_argument("--profile", metavar="DIR", help="capture a jax.profiler trace to DIR")
     ap.add_argument(
         "--debug-nans", action="store_true", help="fail fast on NaNs (numerical sanitizer)"
@@ -94,6 +105,12 @@ def main(argv=None) -> int:
         data_ax, model_ax = (int(v) for v in args.mesh.split(","))
         overrides["mesh_shape"] = (data_ax, model_ax)
         overrides["ep_strategy"] = args.ep_strategy
+    if args.train_mode:
+        overrides["train_mode"] = args.train_mode
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.sparse_optimizer:
+        overrides["sparse_optimizer"] = args.sparse_optimizer
 
     cfg = PRESETS[args.model].replace(**overrides)
 

@@ -29,6 +29,13 @@ class ExperimentConfig:
     # DIEN extension: weight of the paper's auxiliary loss (bce + w * aux);
     # 0 = parity mode (the reference has no aux loss, model/dien.py:47,61)
     aux_weight: float = 0.0
+    # training regime: 'fullbatch' = the reference's one-step-per-epoch
+    # (parity mode); 'minibatch' = shuffled SGD (train/minibatch.py);
+    # 'sparse' = minibatch with row-sparse embedding updates
+    # (train/sparse_trainer.py; models implementing the sparse protocol)
+    train_mode: str = "fullbatch"
+    batch_size: int = 8192  # minibatch/sparse modes
+    sparse_optimizer: str = "lazy_adam"  # 'lazy_adam' | 'rowwise_adagrad'
     global_negatives: int = 150  # matrix family (sampled before splitting)
     item_major: bool = False  # matrix family: I-AutoRec orientation
     seed: int = 0

@@ -246,7 +246,9 @@ def run_experiment(
                 )
 
     # ---- DP: pad each split to the data-axis size, zero-weight pad rows ----
-    if mesh is not None and mesh.shape["data"] > 1:
+    # (fullbatch only: the minibatch/sparse paths draw their own batches, and
+    # zero-weight padding has no meaning there)
+    if mesh is not None and mesh.shape["data"] > 1 and cfg.train_mode == "fullbatch":
         from deeplearningrecommendationsystem_tpu.parallel import pad_and_shard
 
         sharded_weights: Dict[str, jnp.ndarray] = {}
@@ -259,13 +261,35 @@ def run_experiment(
 
     # ---- train (one compiled scan over all epochs) ----
     t0 = time.perf_counter()
-    result = trainer.fit(
-        rng,
-        batches["train"],
-        valid=batches["valid"],
-        test=batches["test"],
-        weights=weights,
-    )
+    if cfg.train_mode == "fullbatch":
+        result = trainer.fit(
+            rng,
+            batches["train"],
+            valid=batches["valid"],
+            test=batches["test"],
+            weights=weights,
+        )
+    elif cfg.train_mode == "minibatch":
+        from deeplearningrecommendationsystem_tpu.train.minibatch import fit_minibatch
+
+        assert cfg.family != "matrix", "minibatch mode: masked-matrix family N/A"
+        result = fit_minibatch(
+            trainer, rng, batches["train"], batch_size=cfg.batch_size
+        )
+    elif cfg.train_mode == "sparse":
+        from deeplearningrecommendationsystem_tpu.train import fit_minibatch_sparse
+
+        result = fit_minibatch_sparse(
+            trainer,
+            rng,
+            batches["train"],
+            batch_size=cfg.batch_size,
+            optimizer=cfg.sparse_optimizer,
+            mesh=mesh,
+            ep_strategy=cfg.ep_strategy,
+        )
+    else:
+        raise ValueError(cfg.train_mode)
     jax.block_until_ready(result.params)
     train_time = time.perf_counter() - t0
 

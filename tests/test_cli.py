@@ -57,3 +57,14 @@ def test_tiny_run_bf16_and_plot(tmp_path, capsys):
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["model"] == "mf"
     assert out_png.exists() and out_png.stat().st_size > 0
+
+
+def test_sparse_train_mode_json(capsys):
+    assert main([
+        "--model", "mf", "--epochs", "2", "--train-mode", "sparse",
+        "--batch-size", "4096", "--json",
+    ]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["model"] == "mf"
+    assert payload["final"]["train_loss"] > 0
+    assert payload["ranking"]["test"]["recall"] >= 0
