@@ -4,11 +4,12 @@ Compares this framework's tiled on-device catalog scorer against the
 measured reference serving loop (tools/measure_reference_serving.py, same
 host, recorded in BASELINE_MEASURED.json). Writes SERVING_BENCH.json.
 
-DIN caveat: the reference scores each user's FULL unpadded history
-(model/din.py:55-66; mean length ~106 on ml-100k), while this framework
-serves with a fixed masked window. We report hist_len=10 (the training-time
-semantics, what our quality campaign used) AND hist_len=128 (covers ~75% of
-users' full histories -- the closer-to-equal-work comparison).
+DIN rows: ``din`` = fixed hist_len-10 window (training-time semantics);
+``din_full`` = the reference's exact semantics -- every user's COMPLETE
+variable-length history through the bucketed scorer
+(models/base.py::catalog_scores_full_history), the apples-to-apples row
+against the reference's 485 s loop. ``mf_pallas_topk`` = the fused
+score+mask+top-k kernel (ops/pallas/serving_topk.py).
 """
 
 from __future__ import annotations
@@ -32,9 +33,11 @@ from deeplearningrecommendationsystem_tpu.experiments import DEFAULT_DATA  # noq
 from deeplearningrecommendationsystem_tpu.eval.recommend import top_k_unseen  # noqa: E402
 from deeplearningrecommendationsystem_tpu.features import ML100K_SPEC  # noqa: E402
 from deeplearningrecommendationsystem_tpu.models import (  # noqa: E402
+    AutoRec,
     DeepFM,
     DIN,
     MatrixFactorization,
+    NeuralCF,
     ServingContext,
 )
 
@@ -74,35 +77,63 @@ def main():
     seen = jnp.asarray(data.seen_mask(data.train))
     results = {}
 
-    ctx128 = ServingContext(
+    padded = data.itemid_matrix(data.data)
+    ctx_full = ServingContext(
         user_features=ctx.user_features,
         item_features=ctx.item_features,
-        history=jnp.asarray(data.history_matrix(data.data, 128)),
+        full_histories=[row[row >= 0] for row in padded],
+    )
+    from deeplearningrecommendationsystem_tpu.sampling import NegativeSampler
+
+    negatives = NegativeSampler(data.seen_mask(data.data), seed=0).sample(150)
+    ctx_matrix = ServingContext(
+        user_features=ctx.user_features,
+        item_features=ctx.item_features,
+        rating_matrix=jnp.asarray(data.rating_matrix(negatives)),
     )
 
-    for name, model, c in (
-        ("deepfm", DeepFM(ML100K_SPEC), ctx),
-        ("mf", MatrixFactorization(943, 1682, 64), ctx),
-        ("din", DIN(1682, 64), ctx),
-        ("din_hist128", DIN(1682, 64), ctx128),
+    for name, model, c, jit_ok in (
+        ("deepfm", DeepFM(ML100K_SPEC), ctx, True),
+        ("mf", MatrixFactorization(943, 1682, 64), ctx, True),
+        ("neuralcf", NeuralCF(943, 1682), ctx, True),
+        ("autorec", AutoRec(num_input=1682), ctx_matrix, True),
+        ("din", DIN(1682, 64), ctx, True),
+        # full-history scorer buckets on host -> time as a python callable
+        ("din_full", DIN(1682, 64), ctx_full, False),
     ):
         params = model.init(jax.random.PRNGKey(0))
-        fn = jax.jit(
-            lambda p=params, m=model, c=c: top_k_unseen(m.score_catalog(p, c), seen, 50)
-        )
-        dt = timeit(fn)
+        fn = lambda p=params, m=model, c=c: top_k_unseen(m.score_catalog(p, c), seen, 50)  # noqa: E731
+        if jit_ok:
+            fn = jax.jit(fn)
+        dt = timeit(fn, iters=3 if name == "din_full" else 10)
         entry = {"seconds_all_users": dt, "users_per_sec": 943 / dt}
         ref_key = name.split("_")[0]
         if ref_key in REFERENCE_S:
             entry["speedup_vs_reference"] = REFERENCE_S[ref_key] / dt
         results[name] = entry
-        print(name, json.dumps(entry))
+        print(name, json.dumps(entry), flush=True)
+
+    # fused Pallas score+mask+top-k on the MF factors (the default TPU
+    # Recommender path, serving.py)
+    if jax.default_backend() == "tpu":
+        from deeplearningrecommendationsystem_tpu.ops.pallas import topk_serve_matmul
+
+        mf = MatrixFactorization(943, 1682, 64)
+        params = mf.init(jax.random.PRNGKey(0))
+        fn = lambda: topk_serve_matmul(params["user"], params["item"], seen, k=50)  # noqa: E731
+        dt = timeit(fn)
+        results["mf_pallas_topk"] = {
+            "seconds_all_users": dt,
+            "users_per_sec": 943 / dt,
+            "speedup_vs_reference": REFERENCE_S.get("mf", 0) / dt if "mf" in REFERENCE_S else None,
+        }
+        print("mf_pallas_topk", json.dumps(results["mf_pallas_topk"]), flush=True)
 
     results["notes"] = {
         "reference_seconds_same_host": REFERENCE_S,
-        "din": "reference scores FULL per-user histories (mean ~106); "
-        "din = hist_len 10 (training semantics), din_hist128 = closer-to-"
-        "equal-work window",
+        "din": "din = hist_len-10 window (training semantics); din_full = the "
+        "reference's exact full-variable-history semantics (bucketed scorer), "
+        "compare to the reference's 485 s python loop",
     }
     with open("SERVING_BENCH.json", "w") as f:
         json.dump(results, f, indent=2)
