@@ -41,25 +41,35 @@ _KP = 128  # top-k buffer lanes (k <= _KP; lane-aligned)
 
 
 def _merge_topk(buf_v_ref, buf_i_ref, scores, ids, k: int):
-    """Merge a [T, C] chunk into the [T, _KP] running top-k scratch buffer."""
+    """Merge a [T, C] chunk into the [T, _KP] running top-k scratch buffer.
+
+    The per-step winner is blended into the new buffer with a lane one-hot
+    (Mosaic has no dynamic-lane-offset vector store), and the buffer refs are
+    written once after the loop.
+    """
     T = scores.shape[0]
     work_v = jnp.concatenate([buf_v_ref[:], scores], axis=1)  # [T, KP + C]
     work_i = jnp.concatenate([buf_i_ref[:], ids], axis=1)
     W = work_v.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+    lane_kp = jax.lax.broadcasted_iota(jnp.int32, (T, _KP), 1)
+    new_v0 = jnp.full((T, _KP), NEG_INF, jnp.float32)
+    new_i0 = jnp.zeros((T, _KP), jnp.int32)
 
     def step(s, carry):
-        work_v, work_i = carry
+        work_v, new_v, new_i = carry
         m = jnp.max(work_v, axis=1, keepdims=True)  # [T, 1]
         # first lane achieving the max (lax.top_k tie-breaking)
         am = jnp.min(jnp.where(work_v == m, lane, W), axis=1, keepdims=True)
         hit = lane == am  # [T, W] one-hot
         idx = jnp.sum(jnp.where(hit, work_i, 0), axis=1, keepdims=True)
-        buf_v_ref[:, pl.ds(s, 1)] = m
-        buf_i_ref[:, pl.ds(s, 1)] = idx
-        return jnp.where(hit, NEG_INF, work_v), work_i
+        new_v = jnp.where(lane_kp == s, m, new_v)
+        new_i = jnp.where(lane_kp == s, idx, new_i)
+        return jnp.where(hit, NEG_INF, work_v), new_v, new_i
 
-    jax.lax.fori_loop(0, k, step, (work_v, work_i))
+    _, new_v, new_i = jax.lax.fori_loop(0, k, step, (work_v, new_v0, new_i0))
+    buf_v_ref[:] = new_v
+    buf_i_ref[:] = new_i
 
 
 def _matmul_topk_kernel(p_ref, q_ref, seen_ref, out_v_ref, out_i_ref,

@@ -129,7 +129,7 @@ def main():
 
     # no-embed ablation: isolate the gather/scatter cost
     key = jax.random.PRNGKey(1)
-    hist_e = jax.random.normal(key, batch[0][0].shape + (64,), jnp.float32)
+    hist_e = jax.random.normal(key, batch[0].shape + (64,), jnp.float32)
     target_e = jax.random.normal(key, (n, 64), jnp.float32)
     model = PrecomputedDIN(data.num_items, 64)
     dt, loss = time_fit(model, (hist_e, target_e), y, args.epochs)
