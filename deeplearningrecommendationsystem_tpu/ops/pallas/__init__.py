@@ -15,6 +15,7 @@ from deeplearningrecommendationsystem_tpu.ops.pallas.gather import gather_rows_p
 from deeplearningrecommendationsystem_tpu.ops.pallas.serving_topk import (
     topk_scores_pallas,
     topk_serve_matmul,
+    topk_two_stage,
 )
 
 __all__ = [
@@ -23,4 +24,5 @@ __all__ = [
     "gather_rows_pallas",
     "topk_scores_pallas",
     "topk_serve_matmul",
+    "topk_two_stage",
 ]

@@ -187,6 +187,49 @@ def topk_serve_matmul(
     return out_v[:U], out_i[:U]
 
 
+@functools.partial(jax.jit, static_argnames=("k", "group"))
+def topk_two_stage(
+    P: jnp.ndarray,  # [U, D]
+    Q: jnp.ndarray,  # [I, D]
+    seen: jnp.ndarray,  # [U, I]
+    k: int = 50,
+    group: int = 128,
+):
+    """Exact top-k for LARGE catalogs via group-max dominance (pure XLA).
+
+    ``lax.top_k`` over a huge catalog axis is a sort-family op and dominates
+    serving at production item counts (measured 45 ms at [2048, 131072] vs
+    ~0.2 ms of matmul). Two stages make the sort small:
+
+      1. group maxes: [U, I/group] -- any group holding a true top-k item has
+         max >= the kth value, and there are at most k such groups, so the
+         top-k groups BY MAX contain every top-k item (exact, up to ties at
+         the kth-value boundary);
+      2. top-k of the k*group gathered candidates.
+
+    Returns values identical to ``lax.top_k`` of the masked scores; index
+    order among EQUAL values at the boundary may differ (ties are broken by
+    group rank, then position).
+    """
+    U, D = P.shape
+    I = Q.shape[0]
+    scores = jnp.where(seen != 0, NEG_INF, P @ Q.T)  # [U, I] one materialization
+    pad = (-I) % group
+    if pad:
+        scores = jnp.concatenate(
+            [scores, jnp.full((U, pad), NEG_INF, scores.dtype)], axis=1
+        )
+    G = scores.shape[1] // group
+    blocks = scores.reshape(U, G, group)
+    gmax = jnp.max(blocks, axis=-1)  # [U, G]
+    _, gidx = jax.lax.top_k(gmax, k)  # [U, k] winning groups
+    cand = jnp.take_along_axis(blocks, gidx[:, :, None], axis=1)  # [U, k, group]
+    vals, within = jax.lax.top_k(cand.reshape(U, k * group), k)
+    g_of = jnp.take_along_axis(gidx, within // group, axis=1)
+    idx = g_of * group + within % group
+    return vals, idx.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile", "chunk", "interpret"))
 def topk_scores_pallas(
     scores: jnp.ndarray,  # [U, I] f32 (precomputed)

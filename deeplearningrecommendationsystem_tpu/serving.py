@@ -78,6 +78,10 @@ class Recommender:
             )
 
             if hasattr(self.model, "serving_factors"):
+                from deeplearningrecommendationsystem_tpu.ops.pallas import (
+                    topk_two_stage,
+                )
+
                 P, Q = self.model.serving_factors(self.params, self.ctx)
                 seen = self.seen
                 if seen is None:
@@ -85,7 +89,12 @@ class Recommender:
                 if users is not None:
                     u = jnp.asarray(users)
                     P, seen = P[u], seen[u]
-                _, idx = topk_serve_matmul(P, Q, seen, k=k)
+                # small catalogs: fully fused kernel (scores never hit HBM);
+                # large: two-stage group-max (KERNEL_BENCH.json crossover)
+                if Q.shape[0] <= 8192:
+                    _, idx = topk_serve_matmul(P, Q, seen, k=k)
+                else:
+                    _, idx = topk_two_stage(P, Q, seen, k=k)
                 return np.asarray(idx)
             s = self.scores  # seen already masked at refresh
             if users is not None:

@@ -21,7 +21,11 @@ only the rows the batch references.
 
 All three operate on ``[B]``-padded unique ids using the table's vocab size as
 an out-of-range sentinel: gathers/scatters use ``mode='drop'``/``'fill'`` so
-padding rows are no-ops and every shape stays static under ``jit``.
+padding rows are no-ops and every shape stays static under ``jit``. Because
+``jnp.unique`` returns SORTED UNIQUE ids, every gather/scatter passes
+``unique_indices=True, indices_are_sorted=True`` -- without these hints XLA
+assumes possible collisions and serializes TPU scatters (measured 92 ms/step
+at a 64k batch on a 5.2M-row table; the hints let it vectorize).
 
 Scale benchmark: ``tools/bench_scale_ctr.py`` (dense vs sparse step on a real
 chip at multi-million-row vocab). Correctness: ``tests/test_sparse.py``
@@ -91,12 +95,20 @@ def rowwise_adagrad(
     is ``vocab`` floats instead of Adam's ``2 * vocab * D``.
     """
     g2 = jnp.mean(jnp.square(ugrads), axis=-1)  # [B]
-    accum_rows = state.accum.at[uids].get(mode="fill", fill_value=0.0) + g2
-    accum = state.accum.at[uids].set(accum_rows, mode="drop")
+    accum_rows = state.accum.at[uids].get(
+        mode="fill", fill_value=0.0, unique_indices=True, indices_are_sorted=True
+    ) + g2
+    accum = state.accum.at[uids].set(
+        accum_rows, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
     scale = lr / (jnp.sqrt(accum_rows) + eps)  # [B]
-    rows = table.at[uids].get(mode="fill", fill_value=0.0)
+    rows = table.at[uids].get(
+        mode="fill", fill_value=0.0, unique_indices=True, indices_are_sorted=True
+    )
     new_rows = rows - scale[:, None] * ugrads
-    table = table.at[uids].set(new_rows, mode="drop")
+    table = table.at[uids].set(
+        new_rows, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
     return table, RowwiseAdagradState(accum=accum)
 
 
@@ -137,20 +149,21 @@ def lazy_adam(
     correction uses the global step count (as torch SparseAdam does).
     """
     t = state.t + 1
-    m_rows = state.m.at[uids].get(mode="fill", fill_value=0.0)
-    v_rows = state.v.at[uids].get(mode="fill", fill_value=0.0)
+    kw_su = dict(unique_indices=True, indices_are_sorted=True)
+    m_rows = state.m.at[uids].get(mode="fill", fill_value=0.0, **kw_su)
+    v_rows = state.v.at[uids].get(mode="fill", fill_value=0.0, **kw_su)
     m_rows = b1 * m_rows + (1.0 - b1) * ugrads
     v_rows = b2 * v_rows + (1.0 - b2) * jnp.square(ugrads)
     tf = t.astype(jnp.float32)
     m_hat = m_rows / (1.0 - b1**tf)
     v_hat = v_rows / (1.0 - b2**tf)
-    rows = table.at[uids].get(mode="fill", fill_value=0.0)
+    rows = table.at[uids].get(mode="fill", fill_value=0.0, **kw_su)
     new_rows = rows - lr * m_hat / (jnp.sqrt(v_hat) + eps)
     return (
-        table.at[uids].set(new_rows, mode="drop"),
+        table.at[uids].set(new_rows, mode="drop", **kw_su),
         LazyAdamState(
-            m=state.m.at[uids].set(m_rows, mode="drop"),
-            v=state.v.at[uids].set(v_rows, mode="drop"),
+            m=state.m.at[uids].set(m_rows, mode="drop", **kw_su),
+            v=state.v.at[uids].set(v_rows, mode="drop", **kw_su),
             t=t,
         ),
     )

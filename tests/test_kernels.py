@@ -141,3 +141,28 @@ def test_gather_matmul_bwd_grads_match_scatter():
     g_mm = jax.grad(lambda t: jnp.sum(gather_matmul_bwd(t, ids) * cot))(table)
     g_sc = jax.grad(lambda t: jnp.sum(t[ids] * cot))(table)
     np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_sc), atol=1e-5)
+
+
+def test_topk_two_stage_exact_and_ties():
+    """Group-max dominance: two-stage top-k == lax.top_k values; with
+    distinct scores the indices match exactly too."""
+    from deeplearningrecommendationsystem_tpu.ops.pallas import topk_two_stage
+
+    rng = np.random.default_rng(5)
+    U, I, D, k = 37, 1000, 16, 13
+    P = jnp.asarray(rng.normal(size=(U, D)).astype(np.float32))
+    Q = jnp.asarray(rng.normal(size=(I, D)).astype(np.float32))
+    seen = jnp.asarray(rng.random((U, I)) < 0.1)
+    wv, wi = jax.lax.top_k(jnp.where(seen, -1e30, P @ Q.T), k)
+    gv, gi = topk_two_stage(P, Q, seen, k=k, group=64)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(wv), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+    # ties: returned indices must SCORE the returned values
+    Pq = jnp.asarray(np.round(np.asarray(P)).astype(np.float32))
+    Qq = jnp.asarray(np.round(np.asarray(Q)).astype(np.float32))
+    sc = jnp.where(seen, -1e30, Pq @ Qq.T)
+    wv, _ = jax.lax.top_k(sc, k)
+    gv, gi = topk_two_stage(Pq, Qq, seen, k=k, group=64)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(wv), atol=0)
+    got_scores = np.asarray(sc)[np.arange(U)[:, None], np.asarray(gi)]
+    np.testing.assert_allclose(got_scores, np.asarray(gv), atol=0)

@@ -174,6 +174,22 @@ def bench_serving_topk(results, key, scale: str):
     assert jnp.array_equal(xi, pi), "serving_topk indices mismatch"
     t_x = timeit(xla, P, Q, seen)
     t_p = timeit(pal, P, Q, seen)
+
+    # two-stage group-max variant (the large-catalog default, pure XLA)
+    from deeplearningrecommendationsystem_tpu.ops.pallas import topk_two_stage
+
+    two = jax.jit(lambda P, Q, s: topk_two_stage(P, Q, s, k=k))
+    tv, ti_ = two(P, Q, seen)
+    assert jnp.allclose(xv, tv, atol=1e-4), "two_stage values mismatch"
+    t_two = timeit(two, P, Q, seen)
+    results[f"serving_topk_two_stage_{scale}"] = {
+        "shape": [U, I, D, k],
+        "xla_ms": t_x * 1e3,
+        "two_stage_ms": t_two * 1e3,
+        "speedup": t_x / t_two,
+    }
+    print(f"serving_topk_two_stage_{scale}",
+          results[f"serving_topk_two_stage_{scale}"], flush=True)
     # SoL: must read P, Q, seen(int8 on the pallas path) + write [U, k] * 2
     bytes_min = P.nbytes + Q.nbytes + U * I + U * k * 8
     results[f"serving_topk_{scale}"] = {

@@ -83,13 +83,13 @@ def make_sparse_step(lr):
 def run(step, params, state, batches, steps):
     """Time ``steps`` chained optimizer steps inside ONE compiled program.
 
-    The first version of this harness timed per-dispatch with a single final
-    ``block_until_ready(loss)`` -- on the remote-relay backend that measured
-    dispatch, not compute (dense Adam "ran" at 170x the chip's physical HBM
-    bandwidth). A ``lax.scan`` over the steps with the loss accumulated into
-    the carry makes every step's full update a data dependency of the fetched
-    output, so wall time is honest device time, and donation aliases the
-    multi-GB tables in place across the whole run.
+    Two prior versions of this harness under-measured on the remote-relay
+    backend: (a) per-dispatch timing with one final ``block_until_ready(loss)``
+    measured dispatch, and (b) even a single scan program with losses fetched
+    returned before the DONATED table buffers' writes landed (dense Adam
+    "ran" at 170x physical HBM bandwidth both times). The fix: fetch a
+    full-table CHECKSUM, making the returned scalar a data dependency of
+    every updated byte. Donation still aliases the multi-GB tables in place.
     """
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
     nbatch = len(batches)
@@ -104,17 +104,18 @@ def run(step, params, state, batches, steps):
         (params, state, _), losses = jax.lax.scan(
             body, (params, state, jnp.zeros(())), jnp.arange(steps)
         )
-        return params, state, losses
+        checksum = sum(jnp.sum(leaf) for leaf in jax.tree.leaves((params, state)))
+        return params, state, losses, checksum
 
     fn = jax.jit(bench, donate_argnums=(0, 1))
     t0 = time.perf_counter()
-    params, state, losses = fn(params, state, stacked)
-    jax.block_until_ready(losses)
+    params, state, losses, checksum = fn(params, state, stacked)
+    float(checksum)  # host fetch blocks until every table write landed
     compile_s = time.perf_counter() - t0
     # timed run (buffers were donated; reuse the returned ones)
     t0 = time.perf_counter()
-    params, state, losses = fn(params, state, stacked)
-    jax.block_until_ready(losses)
+    params, state, losses, checksum = fn(params, state, stacked)
+    float(checksum)
     dt = (time.perf_counter() - t0) / steps
     loss = float(losses[-1])
     del params, state
