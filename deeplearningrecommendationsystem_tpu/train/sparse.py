@@ -58,6 +58,10 @@ def dedup_rows(
       ``row_grads[i]`` over all ``i`` with ``ids[i] == unique_ids[j]`` — the
       exact dense scatter-add gradient, restricted to touched rows.
     """
+    # (An explicit argsort + sorted-slot segment-sum variant was benchmarked
+    # on the chip: identical runtime to jnp.unique's inverse scatter-add but
+    # a 27x longer compile (404 s vs 15 s in-scan) -- the scatter cost is in
+    # TPU's scatter lowering itself, not the index order. jnp.unique kept.)
     uids, inv = jnp.unique(
         ids, return_inverse=True, size=ids.shape[0], fill_value=vocab
     )

@@ -157,6 +157,17 @@ def main():
 
     vocab_rows = args.users + args.items
     table_gb = vocab_rows * args.dim * 4 / 1e9
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_CTR_BENCH.json",
+    )
+    try:
+        with open(out_path) as f:
+            all_results = json.load(f)
+        if "config" in all_results:  # migrate single-config format
+            all_results = {}
+    except FileNotFoundError:
+        all_results = {}
     results = {
         "config": vars(args) | {"backend": jax.default_backend()},
         "table_gb_f32": round(table_gb, 3),
@@ -202,14 +213,20 @@ def main():
         print(name, results[name], flush=True)
 
     if "dense_adam" in results and "lazy_adam" in results:
-        results["sparse_speedup_lazy_vs_dense"] = round(
-            results["dense_adam"]["step_ms"] / results["lazy_adam"]["step_ms"], 2
-        )
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "SCALE_CTR_BENCH.json")
-    with open(out, "w") as f:
-        json.dump(results, f, indent=2)
-    print(json.dumps(results))
+        results["speedup_vs_dense"] = {
+            "lazy_adam": round(
+                results["dense_adam"]["step_ms"] / results["lazy_adam"]["step_ms"], 2
+            ),
+            "rowwise_adagrad": round(
+                results["dense_adam"]["step_ms"]
+                / results["rowwise_adagrad"]["step_ms"], 2
+            ),
+        }
+    key = f"users{args.users}_items{args.items}_dim{args.dim}_batch{args.batch}"
+    all_results[key] = results
+    with open(out_path, "w") as f:
+        json.dump(all_results, f, indent=2)
+    print(json.dumps({key: results}))
 
 
 if __name__ == "__main__":
