@@ -100,6 +100,12 @@ def _train_batch(data: MovieLens100K, name: str):
 
 def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
     cfg = PRESETS[name]
+    if name in ("din", "dien"):
+        # one-hot-matmul backward for the item-table gathers: bit-identical
+        # gradients (tests/test_kernels.py), ~+13% ex/s (DIN_PROFILE.json)
+        cfg = cfg.replace(
+            model_kwargs=dict(cfg.model_kwargs, matmul_gather_bwd=True)
+        )
     model = build_model(cfg, data)
     trainer = Trainer(
         model,
