@@ -43,8 +43,11 @@ EPOCHS = 100
 
 # Mixed precision per model: bf16 (MXU matmuls, f32 master weights) is used
 # only where a full reference-hyperparameter run proved quality parity
-# (BF16_QUALITY.json); everything else stays f32.
-COMPUTE_DTYPE = {"din": "bfloat16"}
+# (BF16_QUALITY.json): MF exact (+0.0000 auc_raw), DIN/DIEN within seed
+# variance (-0.0006 for DIEN at 1.45x).
+# The full-batch feature models (deepfm/widedeep/nfm/pnn) LOSE ~0.09 auc_raw
+# in bf16 -- few huge GD steps round away the mean gradient -- and stay f32.
+COMPUTE_DTYPE = {"din": "bfloat16", "mf": "bfloat16", "dien": "bfloat16"}
 
 ZOO = (
     "lr", "mf", "neuralcf", "ffm", "widedeep", "deepfm", "nfm", "afm",
