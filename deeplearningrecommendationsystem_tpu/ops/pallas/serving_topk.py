@@ -222,9 +222,11 @@ def topk_two_stage(
     G = scores.shape[1] // group
     blocks = scores.reshape(U, G, group)
     gmax = jnp.max(blocks, axis=-1)  # [U, G]
-    _, gidx = jax.lax.top_k(gmax, k)  # [U, k] winning groups
-    cand = jnp.take_along_axis(blocks, gidx[:, :, None], axis=1)  # [U, k, group]
-    vals, within = jax.lax.top_k(cand.reshape(U, k * group), k)
+    kg = min(k, G)  # small catalogs may have fewer groups than k
+    assert kg * group >= k, f"k={k} exceeds candidate pool {kg}x{group}"
+    _, gidx = jax.lax.top_k(gmax, kg)  # [U, kg] winning groups
+    cand = jnp.take_along_axis(blocks, gidx[:, :, None], axis=1)  # [U, kg, group]
+    vals, within = jax.lax.top_k(cand.reshape(U, kg * group), k)
     g_of = jnp.take_along_axis(gidx, within // group, axis=1)
     idx = g_of * group + within % group
     return vals, idx.astype(jnp.int32)
