@@ -68,6 +68,15 @@ def main(argv=None) -> int:
         "--sparse-optimizer", choices=["lazy_adam", "rowwise_adagrad"],
         help="row optimizer for --train-mode sparse",
     )
+    ap.add_argument(
+        "--augru", action="store_true",
+        help="DIEN extension: AUGRU interest-evolution layer (the reference "
+        "uses a plain GRU, model/dien.py:47,61)",
+    )
+    ap.add_argument(
+        "--aux-weight", type=float,
+        help="DIEN extension: auxiliary next-behavior loss weight (0 = off)",
+    )
     ap.add_argument("--profile", metavar="DIR", help="capture a jax.profiler trace to DIR")
     ap.add_argument(
         "--debug-nans", action="store_true", help="fail fast on NaNs (numerical sanitizer)"
@@ -111,6 +120,15 @@ def main(argv=None) -> int:
         overrides["batch_size"] = args.batch_size
     if args.sparse_optimizer:
         overrides["sparse_optimizer"] = args.sparse_optimizer
+    if args.augru or args.aux_weight is not None:
+        if args.model != "dien":
+            ap.error("--augru/--aux-weight are DIEN extensions")
+        if args.aux_weight is not None:
+            overrides["aux_weight"] = args.aux_weight
+        if args.augru:
+            kw = dict(PRESETS[args.model].model_kwargs)
+            kw["use_augru"] = True
+            overrides["model_kwargs"] = kw
 
     cfg = PRESETS[args.model].replace(**overrides)
 

@@ -149,7 +149,9 @@ def run_experiment(
     aux_loss_fn = None
     if cfg.aux_weight > 0:
         assert cfg.model == "dien", "aux_weight is the DIEN auxiliary-loss hook"
-        aux_loss_fn = lambda p, b: model.auxiliary_loss(p, b[0], b[2])  # noqa: E731
+        # fused path: logits + aux in one forward, sharing the extractor-GRU
+        # scan (models/dien.py::apply_with_aux)
+        aux_loss_fn = "model"
     trainer = Trainer(
         model,
         TrainConfig(

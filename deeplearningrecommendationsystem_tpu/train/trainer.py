@@ -96,29 +96,43 @@ def _bce_with_logits(logits, labels, weights=None):
 class Trainer:
     """Drives a model's full-batch training with jit-compiled epoch scans.
 
-    ``aux_loss_fn(params, batch) -> scalar`` (optional) is added to the BCE as
+    ``aux_loss_fn`` (optional) adds an auxiliary term to the BCE as
     ``loss = bce + aux_weight * aux`` -- the composite-loss hook used by the
-    DIEN auxiliary loss extension (models/dien.py::auxiliary_loss; absent in
-    the reference, /root/reference/model/dien.py:47,61).
+    DIEN auxiliary loss extension (absent in the reference,
+    /root/reference/model/dien.py:47,61). Two forms:
+
+    * the string ``"model"``: the model's ``apply_with_aux(params, batch) ->
+      (logits, aux)`` computes both in one traced forward, sharing the
+      extractor-GRU scan (models/dien.py::apply_with_aux) -- the fast path;
+    * a callable ``aux_loss_fn(params, batch) -> scalar`` evaluated alongside
+      ``model.apply`` (generic, possibly duplicating work).
     """
 
     def __init__(self, model, config: TrainConfig, aux_loss_fn=None, aux_weight=1.0):
         self.model = model
         self.config = config
         self.tx = torch_adam(config.learning_rate, config.weight_decay)
-        self.aux_loss_fn = aux_loss_fn
+        self.fused_aux = aux_loss_fn == "model"
+        self.aux_loss_fn = None if self.fused_aux else aux_loss_fn
         self.aux_weight = aux_weight
 
     # -- single step (also used by benchmarks and the sharded path) --------
     def loss_fn(self, params, batch: Batch, labels, weights=None):
         dt = self.config.compute_dtype
-        if dt:
-            logits = self.model.apply(
-                _cast_floats(params, dt), _cast_floats(batch, dt)
-            ).astype(jnp.float32)
+        p, b = (
+            (_cast_floats(params, dt), _cast_floats(batch, dt))
+            if dt
+            else (params, batch)
+        )
+        aux = None
+        if self.fused_aux:
+            logits, aux = self.model.apply_with_aux(p, b)
         else:
-            logits = self.model.apply(params, batch)
+            logits = self.model.apply(p, b)
+        logits = logits.astype(jnp.float32)
         loss = _bce_with_logits(logits, labels, weights)
+        if aux is not None:
+            loss = loss + self.aux_weight * aux.astype(jnp.float32)
         if self.aux_loss_fn is not None:
             loss = loss + self.aux_weight * self.aux_loss_fn(params, batch)
         return loss, logits

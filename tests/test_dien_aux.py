@@ -73,6 +73,52 @@ def test_aux_loss_value_matches_numpy_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_fused_apply_with_aux_matches_separate_paths():
+    """apply_with_aux (one shared extractor scan) must equal apply +
+    auxiliary_loss computed separately, in BOTH parity and AUGRU modes."""
+    batch, _ = _seq_data(n=16, I=30, L=6, seed=3)
+    for use_augru in (False, True):
+        model = DIEN(
+            num_items=30, embed_size=4, attention_units=(8, 1), fc_units=(8, 1),
+            use_augru=use_augru,
+        )
+        params = model.init(jax.random.PRNGKey(4))
+        logits_fused, aux_fused = model.apply_with_aux(params, batch)
+        np.testing.assert_allclose(
+            np.asarray(logits_fused),
+            np.asarray(model.apply(params, batch)),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(aux_fused),
+            float(model.auxiliary_loss(params, batch[0], batch[2])),
+            rtol=1e-6,
+        )
+
+
+def test_fused_aux_trainer_matches_callable_hook():
+    """Trainer(aux_loss_fn='model') trains identically to the callable hook
+    (same loss curve, same final params) -- it only removes duplicated work."""
+    model = DIEN(num_items=50, embed_size=8, attention_units=(8, 1), fc_units=(8, 1))
+    batch, y = _seq_data()
+    cfg = TrainConfig(learning_rate=1e-2, epochs=4, track_metrics=False)
+
+    fused = Trainer(model, cfg, aux_loss_fn="model", aux_weight=0.5).fit(
+        jax.random.PRNGKey(0), (batch, y)
+    )
+    hook = Trainer(
+        model,
+        cfg,
+        aux_loss_fn=lambda p, b: model.auxiliary_loss(p, b[0], b[2]),
+        aux_weight=0.5,
+    ).fit(jax.random.PRNGKey(0), (batch, y))
+    np.testing.assert_allclose(
+        np.asarray(fused.history["train_loss"]),
+        np.asarray(hook.history["train_loss"]),
+        rtol=1e-5,
+    )
+
+
 def test_experiment_aux_preset_runs(ml100k):
     from deeplearningrecommendationsystem_tpu.configs.presets import PRESETS
     from deeplearningrecommendationsystem_tpu.experiments import run_experiment
