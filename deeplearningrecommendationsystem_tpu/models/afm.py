@@ -33,6 +33,10 @@ class AFM:
     # serve with the fused Pallas pairwise-attention kernel (forward-only;
     # 2x faster than the XLA path on v5e, tools/bench_kernels.py)
     pallas_serving: bool = False
+    # TRAIN with the fused kernel too (custom VJP recomputing in VMEM,
+    # ops/pallas/afm_attention.py::afm_attention_pool_fused): the [B, 15, D]
+    # pair tensor never reaches HBM in either pass
+    fused_attention: bool = False
 
     def init(self, key: jax.Array) -> dict:
         ks = jax.random.split(key, 6)
@@ -53,7 +57,15 @@ class AFM:
             [e["user"], e["item"], age_bcast, e["gender"], e["occupation"], e["genre"]],
             axis=1,
         )
-        if use_pallas:
+        if self.fused_attention:
+            from deeplearningrecommendationsystem_tpu.ops.pallas.afm_attention import (
+                afm_attention_pool_fused,
+            )
+
+            pooled = afm_attention_pool_fused(
+                fields, params["att_w"], params["att_b"], params["att_h"]
+            )
+        elif use_pallas:
             from deeplearningrecommendationsystem_tpu.ops.pallas import (
                 afm_attention_pool_pallas,
             )

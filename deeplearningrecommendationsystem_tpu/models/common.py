@@ -24,12 +24,19 @@ def linear_part_init(key: jax.Array, spec: FeatureSpec, dtype=jnp.float32) -> di
     }
 
 
-def linear_part(p: dict, x: jnp.ndarray, spec: FeatureSpec) -> jnp.ndarray:
-    """user_bias[u] + item_bias[i] + W . dense + b  -> [B, 1]."""
+def linear_part(p: dict, x: jnp.ndarray, spec: FeatureSpec, gather=None) -> jnp.ndarray:
+    """user_bias[u] + item_bias[i] + W . dense + b  -> [B, 1].
+
+    ``gather`` swaps the id-bias lookup implementation: pass
+    ops/embedding.gather_matmul_bwd to turn the backward's serialized TPU
+    scatter-add into one one-hot MXU matmul (single-chip fast path; the
+    default gather_rows routes through EP sharding when a mesh is active).
+    """
+    gather = gather or gather_rows
     u = x[:, spec.user_col].astype(jnp.int32)
     i = x[:, spec.item_col].astype(jnp.int32)
     return (
-        gather_rows(p["user_bias"], u)
-        + gather_rows(p["item_bias"], i)
+        gather(p["user_bias"], u)
+        + gather(p["item_bias"], i)
         + linear(p["wide"], spec.dense(x))
     )

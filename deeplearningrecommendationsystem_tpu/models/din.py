@@ -41,6 +41,10 @@ class DIN:
     # TPU's serialized scatter-add (ops/embedding.py::gather_matmul_bwd);
     # right for small vocabs, single-chip (bypasses EP routing)
     matmul_gather_bwd: bool = False
+    # fused Pallas training head (attention unit + softmax + pool + fc MLP in
+    # one kernel with custom VJP; ops/pallas/din_head.py) -- one HBM read of
+    # [B, L, D] per pass instead of ~5. Parity-mode (unmasked) only.
+    fused_head: bool = False
 
     def init(self, key: jax.Array) -> dict:
         ke, ka, kf = jax.random.split(key, 3)
@@ -62,6 +66,12 @@ class DIN:
             # prefix (cummax flips to 1 at the first nonzero).
             nonzero = (hist != 0).astype(jnp.int32)
             mask = jax.lax.cummax(nonzero, axis=1) > 0
+        if self.fused_head and mask is None:
+            from deeplearningrecommendationsystem_tpu.ops.pallas.din_head import (
+                din_head_fused,
+            )
+
+            return din_head_fused(params["att"], params["fc"], hist_e, target_e)
         if use_pallas and mask is None:
             from deeplearningrecommendationsystem_tpu.ops.pallas import (
                 din_attention_pool_pallas,

@@ -22,12 +22,22 @@ from deeplearningrecommendationsystem_tpu.models.common import linear_part, line
 @dataclasses.dataclass
 class LogisticRegression:
     spec: FeatureSpec = ML100K_SPEC
+    # one-hot-matmul backward for the two bias-table gathers (the epoch's
+    # only scatters; see ops/embedding.gather_matmul_bwd). Single-chip path.
+    matmul_gather_bwd: bool = False
 
     def init(self, key: jax.Array) -> dict:
         return linear_part_init(key, self.spec)
 
     def apply(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
-        return linear_part(params, x, self.spec)[:, 0]
+        gather = None
+        if self.matmul_gather_bwd:
+            from deeplearningrecommendationsystem_tpu.ops.embedding import (
+                gather_matmul_bwd,
+            )
+
+            gather = gather_matmul_bwd
+        return linear_part(params, x, self.spec, gather=gather)[:, 0]
 
     def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
         return catalog_scores_from_features(self.apply, params, ctx)

@@ -45,6 +45,84 @@ def test_afm_attention_kernel_matches_xla():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_afm_fused_attention_gradients_match_xla():
+    """Training kernel (custom VJP): grads w.r.t. fields AND attention params
+    match the XLA path, with a ragged last block."""
+    from deeplearningrecommendationsystem_tpu.ops.pallas.afm_attention import (
+        afm_attention_pool_fused,
+    )
+
+    rng = jax.random.PRNGKey(5)
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    B, F, D, A = 70, 6, 32, 16
+    fields = jax.random.normal(k1, (B, F, D))
+    w = jax.random.normal(k2, (D, A))
+    b = jax.random.normal(k3, (A,))
+    h = jax.random.normal(k4, (A, 1))
+    cot = jax.random.normal(k5, (B, D))
+
+    def loss(pool_fn, fields, w, b, h):
+        return jnp.sum(pool_fn(fields, w, b, h) * cot)
+
+    xla_pool = lambda f, w_, b_, h_: afm_attention(  # noqa: E731
+        w_, b_, h_, pairwise_products(f)
+    )
+    fused_pool = lambda f, w_, b_, h_: afm_attention_pool_fused(  # noqa: E731
+        f, w_, b_, h_, 16, True
+    )
+    v_want, g_want = jax.value_and_grad(
+        lambda *a: loss(xla_pool, *a), argnums=(0, 1, 2, 3)
+    )(fields, w, b, h)
+    v_got, g_got = jax.value_and_grad(
+        lambda *a: loss(fused_pool, *a), argnums=(0, 1, 2, 3)
+    )(fields, w, b, h)
+    np.testing.assert_allclose(float(v_got), float(v_want), rtol=1e-5)
+    for got, want in zip(g_got, g_want):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-5
+        )
+
+
+def test_afm_model_fused_flag_matches_default():
+    """AFM(fused_attention=True) forward + grads == default AFM."""
+    import functools
+
+    import deeplearningrecommendationsystem_tpu.ops.pallas.afm_attention as mod
+    from deeplearningrecommendationsystem_tpu.models import AFM
+
+    base = AFM(embedding_dim=32, attention_dim=16)
+    fused = AFM(embedding_dim=32, attention_dim=16, fused_attention=True)
+    params = base.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = np.zeros((40, 45), np.float32)
+    x[:, 0] = rng.integers(0, 943, 40)
+    x[:, 1] = rng.integers(0, 1682, 40)
+    x[:, 2] = rng.random(40)
+    x[np.arange(40), 3 + rng.integers(0, 2, 40)] = 1
+    x[np.arange(40), 5 + rng.integers(0, 21, 40)] = 1
+    x[np.arange(40), 26 + rng.integers(0, 19, 40)] = 1
+    x = jnp.asarray(x)
+    y = jnp.asarray((rng.random(40) < 0.5).astype(np.float32))
+
+    orig = mod.afm_attention_pool_fused
+    # positional binding: custom_vjp with nondiff_argnums rejects kwargs
+    mod.afm_attention_pool_fused = lambda f, w, b, h: orig(f, w, b, h, 16, True)
+    try:
+        def loss(m, p):
+            lg = m.apply(p, x)
+            return jnp.mean(
+                jnp.maximum(lg, 0) - lg * y + jnp.log1p(jnp.exp(-jnp.abs(lg)))
+            )
+
+        v1, g1 = jax.value_and_grad(lambda p: loss(base, p))(params)
+        v2, g2 = jax.value_and_grad(lambda p: loss(fused, p))(params)
+    finally:
+        mod.afm_attention_pool_fused = orig
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
 def test_gather_kernel_matches_take():
     rng = jax.random.PRNGKey(2)
     table = jax.random.normal(rng, (500, 128))
@@ -141,6 +219,35 @@ def test_gather_matmul_bwd_grads_match_scatter():
     g_mm = jax.grad(lambda t: jnp.sum(gather_matmul_bwd(t, ids) * cot))(table)
     g_sc = jax.grad(lambda t: jnp.sum(t[ids] * cot))(table)
     np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_sc), atol=1e-5)
+
+
+def test_lr_matmul_gather_bwd_matches_default():
+    """LogisticRegression(matmul_gather_bwd=True): same logits, same grads
+    (the flag only swaps the bias-table scatter for a one-hot matmul)."""
+    from deeplearningrecommendationsystem_tpu.models import LogisticRegression
+
+    base = LogisticRegression()
+    fast = LogisticRegression(matmul_gather_bwd=True)
+    params = base.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    x = np.zeros((50, 45), np.float32)
+    x[:, 0] = rng.integers(0, 943, 50)
+    x[:, 1] = rng.integers(0, 1682, 50)
+    x[:, 2:] = rng.random((50, 43))
+    x = jnp.asarray(x)
+    y = jnp.asarray((rng.random(50) < 0.5).astype(np.float32))
+
+    def loss(m, p):
+        lg = m.apply(p, x)
+        return jnp.mean(
+            jnp.maximum(lg, 0) - lg * y + jnp.log1p(jnp.exp(-jnp.abs(lg)))
+        )
+
+    v1, g1 = jax.value_and_grad(lambda p: loss(base, p))(params)
+    v2, g2 = jax.value_and_grad(lambda p: loss(fast, p))(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_topk_two_stage_exact_and_ties():
