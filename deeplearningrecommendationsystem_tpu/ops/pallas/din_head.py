@@ -36,6 +36,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_ROWS = 512
+# the backward keeps ~3x more live state (h/z1/z2 lists + dhist block + fc
+# activations); 512 rows hits 25.6 MB > the 16 MB scoped-VMEM limit on v5e
+DEFAULT_BWD_BLOCK_ROWS = 256
 
 
 def _f32(x):
@@ -298,19 +301,19 @@ def _call_bwd(hist_e, target_e, weights, g, block_rows, interpret):
     )(hist_e, target_e, *weights, g.reshape(B, 1))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _din_head(hist_e, target_e, weights, block_rows, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _din_head(hist_e, target_e, weights, block_rows, bwd_block_rows, interpret):
     return _call_fwd(hist_e, target_e, weights, block_rows, interpret)
 
 
-def _din_head_fwd(hist_e, target_e, weights, block_rows, interpret):
+def _din_head_fwd(hist_e, target_e, weights, block_rows, bwd_block_rows, interpret):
     out = _call_fwd(hist_e, target_e, weights, block_rows, interpret)
     return out, (hist_e, target_e, weights)
 
 
-def _din_head_bwd(block_rows, interpret, res, g):
+def _din_head_bwd(block_rows, bwd_block_rows, interpret, res, g):
     hist_e, target_e, weights = res
-    outs = _call_bwd(hist_e, target_e, weights, g, block_rows, interpret)
+    outs = _call_bwd(hist_e, target_e, weights, g, bwd_block_rows, interpret)
     dhist = outs[0].astype(hist_e.dtype)
     dtgt = outs[1].astype(target_e.dtype)
     dweights = tuple(
@@ -328,6 +331,7 @@ def din_head_fused(
     hist_e: jnp.ndarray,  # [B, L, D]
     target_e: jnp.ndarray,  # [B, D]
     block_rows: int = DEFAULT_BLOCK_ROWS,
+    bwd_block_rows: int = DEFAULT_BWD_BLOCK_ROWS,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused, differentiable DIN head: logits [B] from embedded history +
@@ -339,4 +343,6 @@ def din_head_fused(
     # boundary, so autodiff maps the kernel's dwh/dwt/du1p/du1t cotangents
     # back onto the original concat-layout MLP params automatically
     weights = _weights_tuple(att_mlp, fc_mlp, D)
-    return _din_head(hist_e, target_e, weights, block_rows, interpret)
+    return _din_head(
+        hist_e, target_e, weights, block_rows, bwd_block_rows, interpret
+    )
