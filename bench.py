@@ -109,6 +109,21 @@ def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
         cfg = cfg.replace(
             model_kwargs=dict(cfg.model_kwargs, matmul_gather_bwd=True)
         )
+    if name == "din":
+        # fused Pallas head (attention+softmax+pool+fc, custom VJP): one HBM
+        # read of [B, L, D] per pass; f32 in-kernel accumulation
+        cfg = cfg.replace(model_kwargs=dict(cfg.model_kwargs, fused_head=True))
+    if name == "afm":
+        # fused pairwise-attention kernel fwd+bwd: the [B, 15, D] pair tensor
+        # never reaches HBM
+        cfg = cfg.replace(
+            model_kwargs=dict(cfg.model_kwargs, fused_attention=True)
+        )
+    if name == "lr":
+        # the epoch's only scatters (bias tables) -> one-hot MXU matmuls
+        cfg = cfg.replace(
+            model_kwargs=dict(cfg.model_kwargs, matmul_gather_bwd=True)
+        )
     model = build_model(cfg, data)
     trainer = Trainer(
         model,

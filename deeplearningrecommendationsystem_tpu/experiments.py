@@ -64,7 +64,7 @@ def build_model(cfg: ExperimentConfig, data: MovieLens100K):
     kw = cfg.model_kwargs
     U, I = data.num_users, data.num_items
     registry = {
-        "lr": lambda: LogisticRegression(data.spec),
+        "lr": lambda: LogisticRegression(data.spec, **kw),
         "mf": lambda: MatrixFactorization(U, I, **kw),
         "neuralcf": lambda: NeuralCF(U, I, **kw),
         "ffm": lambda: FFM(data.spec, **kw),
