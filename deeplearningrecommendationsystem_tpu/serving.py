@@ -28,7 +28,8 @@ class Recommender:
         params,
         ctx: ServingContext,
         seen: Optional[np.ndarray] = None,  # [U, I] bool: items to exclude
-        use_pallas: bool = True,  # fused serving kernel on TPU backends
+        use_pallas=True,  # True = measured-winner policy; "fused" = force
+        # the fully-fused Pallas top-k kernel; False = plain lax.top_k
     ):
         self.model = model
         self.params = params
@@ -65,23 +66,24 @@ class Recommender:
     def top_k(self, k: int, users: Optional[Sequence[int]] = None) -> np.ndarray:
         """[len(users), k] recommended item ids (all users by default).
 
-        On TPU this runs the fused Pallas score+mask+top-k kernel
-        (ops/pallas/serving_topk.py): models exposing ``serving_factors``
-        (MF, LR) never materialize the [U, I] score matrix; others fuse
-        mask+top-k over the cached scores. ``use_pallas=False`` forces the
-        XLA ``lax.top_k`` path.
+        Default policy = the measured winner per catalog size
+        (KERNEL_BENCH.json, re-measured on an idle host): plain XLA
+        matmul+mask+``lax.top_k`` at small catalogs, the two-stage group-max
+        algorithm (ops/pallas/serving_topk.py::topk_two_stage, 3.6x at
+        [2048 x 131072]) for factored models at catalogs > 8192. The fully
+        fused Pallas kernel measured BELOW XLA at both benched shapes
+        (ml-100k 0.93x, synthetic 0.76x) and is opt-in via
+        ``use_pallas="fused"`` only.
         """
-        if self.use_pallas and jax.default_backend() == "tpu" and k <= 128:
+        on_tpu = jax.default_backend() == "tpu" and k <= 128
+        factored = hasattr(self.model, "serving_factors")
+        if self.use_pallas == "fused" and on_tpu:
             from deeplearningrecommendationsystem_tpu.ops.pallas import (
                 topk_scores_pallas,
                 topk_serve_matmul,
             )
 
-            if hasattr(self.model, "serving_factors"):
-                from deeplearningrecommendationsystem_tpu.ops.pallas import (
-                    topk_two_stage,
-                )
-
+            if factored:
                 P, Q = self.model.serving_factors(self.params, self.ctx)
                 seen = self.seen
                 if seen is None:
@@ -89,18 +91,28 @@ class Recommender:
                 if users is not None:
                     u = jnp.asarray(users)
                     P, seen = P[u], seen[u]
-                # small catalogs: fully fused kernel (scores never hit HBM);
-                # large: two-stage group-max (KERNEL_BENCH.json crossover)
-                if Q.shape[0] <= 8192:
-                    _, idx = topk_serve_matmul(P, Q, seen, k=k)
-                else:
-                    _, idx = topk_two_stage(P, Q, seen, k=k)
+                _, idx = topk_serve_matmul(P, Q, seen, k=k)
                 return np.asarray(idx)
             s = self.scores  # seen already masked at refresh
             if users is not None:
                 s = s[jnp.asarray(users)]
             _, idx = topk_scores_pallas(s, jnp.zeros(s.shape, jnp.int8), k=k)
             return np.asarray(idx)
+        if self.use_pallas and on_tpu and factored:
+            P, Q = self.model.serving_factors(self.params, self.ctx)
+            if Q.shape[0] > 8192:
+                from deeplearningrecommendationsystem_tpu.ops.pallas import (
+                    topk_two_stage,
+                )
+
+                seen = self.seen
+                if seen is None:
+                    seen = jnp.zeros((P.shape[0], Q.shape[0]), jnp.int8)
+                if users is not None:
+                    u = jnp.asarray(users)
+                    P, seen = P[u], seen[u]
+                _, idx = topk_two_stage(P, Q, seen, k=k)
+                return np.asarray(idx)
         s = self.scores
         if users is not None:
             s = s[jnp.asarray(users)]
