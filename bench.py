@@ -103,26 +103,15 @@ def _train_batch(data: MovieLens100K, name: str):
 
 def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
     cfg = PRESETS[name]
-    if name in ("din", "dien"):
-        # one-hot-matmul backward for the item-table gathers: bit-identical
-        # gradients (tests/test_kernels.py), ~+13% ex/s (DIN_PROFILE.json)
-        cfg = cfg.replace(
-            model_kwargs=dict(cfg.model_kwargs, matmul_gather_bwd=True)
-        )
     if name == "din":
         # fused Pallas head (attention+softmax+pool+fc, custom VJP): one HBM
-        # read of [B, L, D] per pass; f32 in-kernel accumulation
+        # read of [B, L, D] per pass, batched bf16 MXU matmuls
         cfg = cfg.replace(model_kwargs=dict(cfg.model_kwargs, fused_head=True))
     if name == "afm":
         # fused pairwise-attention kernel fwd+bwd: the [B, 15, D] pair tensor
-        # never reaches HBM
+        # never reaches HBM (9.4x the XLA path, KERNEL_BENCH.json)
         cfg = cfg.replace(
             model_kwargs=dict(cfg.model_kwargs, fused_attention=True)
-        )
-    if name == "lr":
-        # the epoch's only scatters (bias tables) -> one-hot MXU matmuls
-        cfg = cfg.replace(
-            model_kwargs=dict(cfg.model_kwargs, matmul_gather_bwd=True)
         )
     model = build_model(cfg, data)
     trainer = Trainer(
@@ -133,6 +122,10 @@ def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
             epochs=EPOCHS,
             track_metrics=False,
             compute_dtype=COMPUTE_DTYPE.get(name),
+            # every id-table gather's backward as a one-hot MXU matmul:
+            # bit-identical gradients, no serialized TPU scatters
+            # (parallel/ep.py::matmul_gather_backward)
+            matmul_gather_bwd=True,
         ),
     )
     batch, y, w = _train_batch(data, name)

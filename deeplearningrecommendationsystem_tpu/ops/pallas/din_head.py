@@ -11,18 +11,23 @@ per block is one read of hist/target (+ one write of their grads in the
 backward). The backward recomputes the forward in VMEM instead of saving
 residuals -- recompute is MXU-cheap, HBM re-reads are not.
 
-Layout notes (v5e Mosaic):
-* the [R, L, D] history block is sliced per position l -> [R, D] 2D tiles
-  (in-kernel reshape across tiled dims forces slow relayouts; per-position
-  slices don't);
-* scores are assembled by concatenating ten [R, 1] columns -> [R, L] (tiny);
+Layout/perf notes (v5e Mosaic):
+* all L per-position [R, D] slices are concatenated along the ROW axis into
+  one [L*R, D] operand, so the whole activation unit is three full-size MXU
+  matmuls instead of 10 skinny ones (in-kernel reshape across tiled dims
+  relayouts; row-axis concat does not);
+* matmul operands stay in the INPUT dtype (bf16 in mixed-precision training)
+  with f32 MXU accumulation -- the kernel's bf16 path runs at native MXU
+  rate, like XLA's, while softmax/elementwise stay f32;
+* scores are re-assembled by concatenating ten [R, 1] row-slices -> [R, L];
 * weight grads are accumulated across the sequential TPU grid into
-  constant-index output blocks (init at program 0, += after).
+  constant-index f32 output blocks (init at program 0, += after);
+* padded rows of the ragged last block are masked with jnp.where (never
+  multiply: out-of-bounds VMEM reads may be NaN and NaN * 0 == NaN).
 
 Structure is fixed to the reference's two-hidden-layer nets: attention
 (3D -> A1 -> A2 -> 1, model/din.py:14-20) and fc (2D -> F1 -> F2 -> 1,
-model/din.py:22-29); all widths are free. Inputs may be bf16 -- compute is
-f32 throughout (matmuls accumulate f32 on the MXU), outputs cast back.
+model/din.py:22-29); all widths are free.
 """
 
 from __future__ import annotations
@@ -36,67 +41,76 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_ROWS = 512
-# the backward keeps ~3x more live state (h/z1/z2 lists + dhist block + fc
-# activations); 512 rows hits 25.6 MB > the 16 MB scoped-VMEM limit on v5e
+# the backward keeps ~3x more live state ([L*R, A1] grads + dhist block +
+# fc activations); keep it under the ~16 MB scoped-VMEM limit on v5e
 DEFAULT_BWD_BLOCK_ROWS = 256
+
+_F32 = jnp.float32
 
 
 def _f32(x):
-    return x.astype(jnp.float32)
+    return x.astype(_F32)
+
+
+def _mdot(a, b):
+    """a @ b on the MXU in b's dtype with f32 accumulation (the XLA
+    mixed-precision convention: bf16 operands, f32 result)."""
+    return jax.lax.dot(a.astype(b.dtype), b, preferred_element_type=_F32)
+
+
+def _cdot(a, b, dtype):
+    """Rows-contraction a^T @ b (grad-of-weight matmul), operands cast to the
+    compute dtype, f32 accumulation."""
+    return jax.lax.dot_general(
+        a.astype(dtype), b.astype(dtype),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=_F32,
+    )
 
 
 def _row_mask(n_valid: int, block_rows: int, i):
-    """[R, 1] bool mask: True for rows that exist in the unpadded batch.
-
-    Must be applied with jnp.where (NOT multiply): out-of-bounds reads of a
-    padded last block are unspecified and may be NaN, and NaN * 0 == NaN.
-    """
+    """[R, 1] bool mask: True for rows that exist in the unpadded batch."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, 1), 0)
     return rows + i * block_rows < n_valid
 
 
-def _masked(ref_slice, valid):
-    return jnp.where(valid, _f32(ref_slice), 0.0)
-
-
 def _attention_forward(hist_ref, t, wh, wt, b1, w2, b2, w3, b3, valid):
-    """Shared fwd recompute: returns (h_list, z1_list, z2_list, scores, w, pooled).
+    """Shared fwd recompute. Returns (h_list, h_cat, z1, z2, r1, r2, w, pooled):
+    h_* in input dtype, z/r/w/pooled in f32; z1/z2/r1/r2 are [L*R, .] with
+    position l occupying rows [l*R, (l+1)*R).
 
     The concat-MLP first layer is decomposed (ops/attention.py identity):
     z1_l = h_l @ (W1_a + W1_b) + t @ (W1_c - W1_b) + b1, so the [R, L, 3D]
-    concat is never formed. ``valid`` zeroes padded rows so garbage VMEM
-    reads cannot poison softmax or the weight-grad reductions.
+    concat is never formed.
     """
-    L = hist_ref.shape[1]
-    t_term = jax.lax.dot(t, wt, preferred_element_type=jnp.float32) + b1
-    h_list, z1_list, z2_list, s_cols = [], [], [], []
-    for l in range(L):
-        h_l = _masked(hist_ref[:, l, :], valid)  # [R, D]
-        z1 = jax.lax.dot(h_l, wh, preferred_element_type=jnp.float32) + t_term
-        r1 = jax.nn.relu(z1)
-        z2 = jax.lax.dot(r1, w2, preferred_element_type=jnp.float32) + b2
-        r2 = jax.nn.relu(z2)
-        s = jax.lax.dot(r2, w3, preferred_element_type=jnp.float32) + b3  # [R,1]
-        h_list.append(h_l)
-        z1_list.append(z1)
-        z2_list.append(z2)
-        s_cols.append(s)
-    scores = jnp.concatenate(s_cols, axis=1)  # [R, L]
+    R, L = hist_ref.shape[0], hist_ref.shape[1]
+    zero = jnp.zeros((), hist_ref.dtype)
+    h_list = [jnp.where(valid, hist_ref[:, l, :], zero) for l in range(L)]
+    h_cat = jnp.concatenate(h_list, axis=0)  # [L*R, D], input dtype
+    t_term = _mdot(t, wt) + b1  # [R, A1] f32
+    z1 = _mdot(h_cat, wh) + jnp.concatenate([t_term] * L, axis=0)  # [L*R, A1]
+    r1 = jax.nn.relu(z1)
+    z2 = _mdot(r1, w2) + b2  # [L*R, A2] f32
+    r2 = jax.nn.relu(z2)
+    s_all = _mdot(r2, w3) + b3  # [L*R, 1] f32
+    scores = jnp.concatenate(
+        [s_all[l * R : (l + 1) * R] for l in range(L)], axis=1
+    )  # [R, L]
     w = jax.nn.softmax(scores, axis=-1)
-    pooled = sum(w[:, l : l + 1] * h_list[l] for l in range(L))  # [R, D]
-    return h_list, z1_list, z2_list, w, pooled
+    pooled = sum(w[:, l : l + 1] * _f32(h_list[l]) for l in range(L))  # [R, D]
+    return h_list, h_cat, z1, z2, r1, r2, w, pooled
 
 
 def _fc_forward(pooled, t, u1p, u1t, c1, u2, c2, u3, c3):
     """concat([pooled, t]) @ U1 decomposed into pooled @ U1_p + t @ U1_t."""
-    f1 = jax.nn.relu(
-        jax.lax.dot(pooled, u1p, preferred_element_type=jnp.float32)
-        + jax.lax.dot(t, u1t, preferred_element_type=jnp.float32)
-        + c1
-    )
-    f2 = jax.nn.relu(jax.lax.dot(f1, u2, preferred_element_type=jnp.float32) + c2)
-    logit = jax.lax.dot(f2, u3, preferred_element_type=jnp.float32) + c3
+    f1 = jax.nn.relu(_mdot(pooled, u1p) + _mdot(t, u1t) + c1)  # [R, F1] f32
+    f2 = jax.nn.relu(_mdot(f1, u2) + c2)  # [R, F2] f32
+    logit = _mdot(f2, u3) + c3  # [R, 1] f32
     return f1, f2, logit
+
+
+def _biases_f32(b1, b2, b3, c1, c2, c3):
+    return tuple(_f32(x[:]) for x in (b1, b2, b3, c1, c2, c3))
 
 
 def _fwd_kernel(
@@ -105,14 +119,13 @@ def _fwd_kernel(
 ):
     i = pl.program_id(0)
     valid = _row_mask(n_valid, block_rows, i)
-    t = _masked(tgt_ref[:], valid)
+    t = jnp.where(valid, tgt_ref[:], jnp.zeros((), tgt_ref.dtype))
+    b1f, b2f, b3f, c1f, c2f, c3f = _biases_f32(b1, b2, b3, c1, c2, c3)
     *_, pooled = _attention_forward(
-        hist_ref, t, _f32(wh[:]), _f32(wt[:]), _f32(b1[:]), _f32(w2[:]),
-        _f32(b2[:]), _f32(w3[:]), _f32(b3[:]), valid,
+        hist_ref, t, wh[:], wt[:], b1f, w2[:], b2f, w3[:], b3f, valid
     )
     _, _, logit = _fc_forward(
-        pooled, t, _f32(u1p[:]), _f32(u1t[:]), _f32(c1[:]), _f32(u2[:]),
-        _f32(c2[:]), _f32(u3[:]), _f32(c3[:]),
+        pooled, t, u1p[:], u1t[:], c1f, u2[:], c2f, u3[:], c3f
     )
     out_ref[:] = logit.astype(out_ref.dtype)
 
@@ -125,78 +138,70 @@ def _bwd_kernel(
     du3_ref, dc3_ref, *, n_valid: int, block_rows: int,
 ):
     i = pl.program_id(0)
-    valid = _row_mask(n_valid, block_rows, i)
-    t = _masked(tgt_ref[:], valid)
-    wh, wt, b1 = _f32(wh_r[:]), _f32(wt_r[:]), _f32(b1_r[:])
-    w2, b2, w3, b3 = _f32(w2_r[:]), _f32(b2_r[:]), _f32(w3_r[:]), _f32(b3_r[:])
-    u1p, u1t, c1 = _f32(u1p_r[:]), _f32(u1t_r[:]), _f32(c1_r[:])
-    u2, c2, u3, c3 = _f32(u2_r[:]), _f32(c2_r[:]), _f32(u3_r[:]), _f32(c3_r[:])
+    R = block_rows
+    valid = _row_mask(n_valid, R, i)
+    t = jnp.where(valid, tgt_ref[:], jnp.zeros((), tgt_ref.dtype))
+    wh, wt, w2, w3 = wh_r[:], wt_r[:], w2_r[:], w3_r[:]
+    u1p, u1t, u2, u3 = u1p_r[:], u1t_r[:], u2_r[:], u3_r[:]
+    b1f, b2f, b3f, c1f, c2f, c3f = _biases_f32(b1_r, b2_r, b3_r, c1_r, c2_r, c3_r)
+    dt_comp = wh.dtype  # compute dtype for all matmul operands
     L = hist_ref.shape[1]
 
     # recompute the forward entirely in VMEM
-    h_list, z1_list, z2_list, w, pooled = _attention_forward(
-        hist_ref, t, wh, wt, b1, w2, b2, w3, b3, valid
+    h_list, h_cat, z1, z2, r1, r2, w, pooled = _attention_forward(
+        hist_ref, t, wh, wt, b1f, w2, b2f, w3, b3f, valid
     )
-    f1, f2, _ = _fc_forward(pooled, t, u1p, u1t, c1, u2, c2, u3, c3)
+    f1, f2, _ = _fc_forward(pooled, t, u1p, u1t, c1f, u2, c2f, u3, c3f)
 
-    cT = lambda a, b: jax.lax.dot_general(  # noqa: E731  contraction over rows
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    g = _masked(g_ref[:], valid)  # [R, 1]; padded rows contribute nothing
+    g = jnp.where(valid, _f32(g_ref[:]), 0.0)  # [R, 1]
 
     # ---- final MLP backward ----
-    du3 = cT(f2, g)
+    du3 = _cdot(f2, g, dt_comp)
     dc3 = jnp.sum(g, axis=0, keepdims=True)
-    df2 = jax.lax.dot(g, u3.T, preferred_element_type=jnp.float32)
+    df2 = _mdot(g, u3.T)
     dzf2 = df2 * (f2 > 0)
-    du2 = cT(f1, dzf2)
+    du2 = _cdot(f1, dzf2, dt_comp)
     dc2 = jnp.sum(dzf2, axis=0, keepdims=True)
-    df1 = jax.lax.dot(dzf2, u2.T, preferred_element_type=jnp.float32)
+    df1 = _mdot(dzf2, u2.T)
     dzf1 = df1 * (f1 > 0)
-    du1p = cT(pooled, dzf1)
-    du1t = cT(t, dzf1)
+    du1p = _cdot(pooled, dzf1, dt_comp)
+    du1t = _cdot(t, dzf1, dt_comp)
     dc1 = jnp.sum(dzf1, axis=0, keepdims=True)
-    dpooled = jax.lax.dot(dzf1, u1p.T, preferred_element_type=jnp.float32)
-    dt = jax.lax.dot(dzf1, u1t.T, preferred_element_type=jnp.float32)  # [R, D]
+    dpooled = _mdot(dzf1, u1p.T)  # [R, D] f32
+    dt_grad = _mdot(dzf1, u1t.T)  # [R, D] f32
 
     # ---- softmax backward: ds = w * (dw - sum(w * dw)) ----
     dw_cols = jnp.concatenate(
-        [jnp.sum(dpooled * h_list[l], axis=-1, keepdims=True) for l in range(L)],
+        [
+            jnp.sum(dpooled * _f32(h_list[l]), axis=-1, keepdims=True)
+            for l in range(L)
+        ],
         axis=1,
     )  # [R, L]
     ds = w * (dw_cols - jnp.sum(w * dw_cols, axis=-1, keepdims=True))
+    ds_all = jnp.concatenate(
+        [ds[:, l : l + 1] for l in range(L)], axis=0
+    )  # [L*R, 1] f32
 
-    # ---- activation unit backward, per position ----
-    dwh = jnp.zeros_like(wh)
-    dwt_from = jnp.zeros((block_rows, wh.shape[1]), jnp.float32)  # sum_l dz1_l
-    db1 = jnp.zeros_like(b1)
-    dw2 = jnp.zeros_like(w2)
-    db2 = jnp.zeros_like(b2)
-    dw3 = jnp.zeros_like(w3)
-    db3 = jnp.zeros_like(b3)
+    # ---- activation unit backward, batched over positions ----
+    dr2 = _mdot(ds_all, w3.T)  # [L*R, A2] f32
+    dz2g = dr2 * (z2 > 0)
+    dw3 = _cdot(r2, ds_all, dt_comp)
+    db3 = jnp.sum(ds_all, axis=0, keepdims=True)
+    dw2 = _cdot(r1, dz2g, dt_comp)
+    db2 = jnp.sum(dz2g, axis=0, keepdims=True)
+    dr1 = _mdot(dz2g, w2.T)  # [L*R, A1] f32
+    dz1g = dr1 * (z1 > 0)
+    dwh = _cdot(h_cat, dz1g, dt_comp)
+    db1 = jnp.sum(dz1g, axis=0, keepdims=True)
+    dh_att = _mdot(dz1g, wh.T)  # [L*R, D] f32
+    dwt_from = sum(dz1g[l * R : (l + 1) * R] for l in range(L))  # [R, A1]
+    dwt = _cdot(t, dwt_from, dt_comp)
+    dt_grad = dt_grad + _mdot(dwt_from, wt.T)
+    dtgt_ref[:] = dt_grad.astype(dtgt_ref.dtype)
     for l in range(L):
-        r1 = jax.nn.relu(z1_list[l])
-        r2 = jax.nn.relu(z2_list[l])
-        dr2 = jax.lax.dot(
-            ds[:, l : l + 1], w3.T, preferred_element_type=jnp.float32
-        )
-        dz2 = dr2 * (z2_list[l] > 0)
-        dr1 = jax.lax.dot(dz2, w2.T, preferred_element_type=jnp.float32)
-        dz1 = dr1 * (z1_list[l] > 0)
-        dw3 += cT(r2, ds[:, l : l + 1])
-        db3 += jnp.sum(ds[:, l : l + 1], axis=0, keepdims=True)
-        dw2 += cT(r1, dz2)
-        db2 += jnp.sum(dz2, axis=0, keepdims=True)
-        dwh += cT(h_list[l], dz1)
-        dwt_from += dz1
-        db1 += jnp.sum(dz1, axis=0, keepdims=True)
-        dh_l = w[:, l : l + 1] * dpooled + jax.lax.dot(
-            dz1, wh.T, preferred_element_type=jnp.float32
-        )
+        dh_l = w[:, l : l + 1] * dpooled + dh_att[l * R : (l + 1) * R]
         dhist_ref[:, l, :] = dh_l.astype(dhist_ref.dtype)
-    dwt = cT(t, dwt_from)
-    dt = dt + jax.lax.dot(dwt_from, wt.T, preferred_element_type=jnp.float32)
-    dtgt_ref[:] = dt.astype(dtgt_ref.dtype)
 
     # ---- weight grads: accumulate across the (sequential) grid ----
     accs = (

@@ -90,6 +90,26 @@ def active_partitioning() -> Optional[EmbeddingPartitioning]:
     return _ACTIVE
 
 
+_MATMUL_BWD = False
+
+
+@contextlib.contextmanager
+def matmul_gather_backward(enable: bool = True):
+    """Scope under which the DENSE gather_rows path uses the one-hot-matmul
+    backward (ops/embedding.gather_matmul_bwd) instead of TPU's serialized
+    scatter-add. Bit-identical gradients (tests/test_kernels.py); the right
+    default for small vocabs on a single chip -- every feature model's
+    user/item bias and embedding tables qualify on ml-100k. EP-routed tables
+    are unaffected (their backward is the shard_map transpose)."""
+    global _MATMUL_BWD
+    prev = _MATMUL_BWD
+    _MATMUL_BWD = enable
+    try:
+        yield
+    finally:
+        _MATMUL_BWD = prev
+
+
 def gather_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """``table[ids]`` routed through the active EP strategy (if any).
 
@@ -98,6 +118,12 @@ def gather_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """
     cfg = _ACTIVE
     if cfg is None or not cfg.routes(table):
+        if _MATMUL_BWD:
+            from deeplearningrecommendationsystem_tpu.ops.embedding import (
+                gather_matmul_bwd,
+            )
+
+            return gather_matmul_bwd(table, ids)
         return table[ids]
     flat = ids.reshape(-1)
     m = cfg.mesh.shape[MODEL_AXIS]

@@ -35,6 +35,7 @@ import optax
 from deeplearningrecommendationsystem_tpu.eval.pointwise import pointwise_metrics
 from deeplearningrecommendationsystem_tpu.parallel.ep import (
     embedding_partitioning,
+    matmul_gather_backward,
     shard_model_tables,
     unshard_model_tables,
 )
@@ -59,6 +60,10 @@ class TrainConfig:
     # row-sharded over the model axis; SURVEY.md §2.5). None = dense tables.
     mesh: Any = None
     ep_strategy: str = "psum"  # 'psum' | 'scatter' (parallel/ep.py)
+    # dense-path gathers backward as one-hot MXU matmuls instead of TPU's
+    # serialized scatter-add (parallel/ep.py::matmul_gather_backward);
+    # bit-identical gradients, single-chip small-vocab fast path
+    matmul_gather_bwd: bool = False
 
 
 def _cast_floats(tree, dtype):
@@ -216,7 +221,13 @@ class Trainer:
 
         # lax.scan compiles the epoch body once; the whole multi-epoch run is
         # a single device program with no per-epoch host dispatch.
-        with embedding_partitioning(ep_cfg):
+        import contextlib
+
+        stack = contextlib.ExitStack()
+        stack.enter_context(embedding_partitioning(ep_cfg))
+        if cfg.matmul_gather_bwd:
+            stack.enter_context(matmul_gather_backward())
+        with stack:
             (params, opt_state), history = jax.lax.scan(
                 epoch, (params, opt_state), None, length=cfg.epochs
             )

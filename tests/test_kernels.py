@@ -250,6 +250,37 @@ def test_lr_matmul_gather_bwd_matches_default():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_matmul_gather_backward_context_matches_default():
+    """TrainConfig.matmul_gather_bwd: identical loss curve + final params to
+    the scatter-backward default (the context only swaps the gather's VJP)."""
+    from deeplearningrecommendationsystem_tpu.models import MatrixFactorization
+    from deeplearningrecommendationsystem_tpu.train import TrainConfig, Trainer
+
+    rng = np.random.default_rng(0)
+    batch = (
+        jnp.asarray(rng.integers(0, 50, 256)),
+        jnp.asarray(rng.integers(0, 80, 256)),
+    )
+    y = jnp.asarray((rng.random(256) < 0.5).astype(np.float32))
+    model = MatrixFactorization(50, 80, embedding_dim=16)
+    fits = {}
+    for flag in (False, True):
+        tr = Trainer(
+            model,
+            TrainConfig(epochs=5, track_metrics=False, matmul_gather_bwd=flag),
+        )
+        fits[flag] = tr.fit(jax.random.PRNGKey(0), (batch, y))
+    np.testing.assert_allclose(
+        np.asarray(fits[False].history["train_loss"]),
+        np.asarray(fits[True].history["train_loss"]),
+        rtol=1e-6,
+    )
+    for a, b in zip(
+        jax.tree.leaves(fits[False].params), jax.tree.leaves(fits[True].params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_topk_two_stage_exact_and_ties():
     """Group-max dominance: two-stage top-k == lax.top_k values; with
     distinct scores the indices match exactly too."""
