@@ -179,8 +179,16 @@ def _bwd_kernel(
         axis=1,
     )  # [R, L]
     ds = w * (dw_cols - jnp.sum(w * dw_cols, axis=-1, keepdims=True))
+    # row-concat of LANE-slices is "offset mismatch on non-concat dimension"
+    # in Mosaic; rebuild each column as an offset-0 [R, 1] via a masked
+    # reduction first (CLAUDE.md r3 note)
+    col = jax.lax.broadcasted_iota(jnp.int32, ds.shape, 1)
     ds_all = jnp.concatenate(
-        [ds[:, l : l + 1] for l in range(L)], axis=0
+        [
+            jnp.sum(jnp.where(col == l, ds, 0.0), axis=1, keepdims=True)
+            for l in range(L)
+        ],
+        axis=0,
     )  # [L*R, 1] f32
 
     # ---- activation unit backward, batched over positions ----
