@@ -45,7 +45,17 @@ def summarize(res):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--aux-weight", type=float, default=0.5)
+    ap.add_argument(
+        "--sweep", type=float, nargs="*", default=None,
+        help="additional aux weights to sweep (quality only)",
+    )
     ap.add_argument("--epochs", type=int, help="override (default 200)")
+    ap.add_argument(
+        "--warm", action="store_true",
+        help="run each config twice and report the SECOND train time "
+        "(first run pays the whole-scan compile; the ≤2x-of-parity "
+        "train-cost criterion is about steady-state, not compile)",
+    )
     args = ap.parse_args()
 
     data = MovieLens100K(DEFAULT_DATA, seed=0)
@@ -56,26 +66,38 @@ def main():
     # fixed-window serving for a same-cost comparison of the training change
     base = base.replace(full_history_serving=False)
 
+    def run_one(cfg):
+        res = run_experiment(cfg, data=data)
+        row = summarize(res)
+        if args.warm:
+            warm = run_experiment(cfg, data=data)
+            row["train_time_s"] = warm.train_time_s
+        return row
+
+    aux_cfg = lambda w: base.replace(  # noqa: E731
+        aux_weight=w, model_kwargs=dict(base.model_kwargs, use_augru=True)
+    )
     for name, cfg in (
         ("parity", base),
-        (
-            "augru_aux",
-            base.replace(
-                aux_weight=args.aux_weight,
-                model_kwargs=dict(base.model_kwargs, use_augru=True),
-            ),
-        ),
+        ("augru_aux", aux_cfg(args.aux_weight)),
     ):
-        res = run_experiment(cfg, data=data)
-        results[name] = summarize(res)
+        results[name] = run_one(cfg)
         print(name, results[name], flush=True)
+
+    for w in args.sweep or ():
+        results.setdefault("sweep", {})[str(w)] = run_one(aux_cfg(w))
+        print("sweep", w, results["sweep"][str(w)], flush=True)
 
     results["auc_raw_delta"] = (
         results["augru_aux"]["test_auc_raw"] - results["parity"]["test_auc_raw"]
     )
+    results["train_time_ratio"] = (
+        results["augru_aux"]["train_time_s"] / results["parity"]["train_time_s"]
+    )
     with open("AUX_EXPERIMENT.json", "w") as f:
         json.dump(results, f, indent=2)
-    print("wrote AUX_EXPERIMENT.json; delta:", results["auc_raw_delta"])
+    print("wrote AUX_EXPERIMENT.json; delta:", results["auc_raw_delta"],
+          "time ratio:", results["train_time_ratio"])
 
 
 if __name__ == "__main__":
