@@ -310,6 +310,10 @@ def _call_bwd(hist_e, target_e, weights, g, block_rows, interpret):
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
+        # the f32 backward at 256 rows sits ~2% over the default 16 MB
+        # scoped-VMEM budget; v5e VMEM has headroom, so raise the cap rather
+        # than shrink blocks (128-row blocks halve MXU utilization)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(hist_e, target_e, *weights, g.reshape(B, 1))
 
