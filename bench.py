@@ -103,16 +103,16 @@ def _train_batch(data: MovieLens100K, name: str):
 
 def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
     cfg = PRESETS[name]
-    if name == "din":
-        # fused Pallas head (attention+softmax+pool+fc, custom VJP): one HBM
-        # read of [B, L, D] per pass, batched bf16 MXU matmuls
-        cfg = cfg.replace(model_kwargs=dict(cfg.model_kwargs, fused_head=True))
     if name == "afm":
         # fused pairwise-attention kernel fwd+bwd: the [B, 15, D] pair tensor
         # never reaches HBM (9.4x the XLA path, KERNEL_BENCH.json)
         cfg = cfg.replace(
             model_kwargs=dict(cfg.model_kwargs, fused_attention=True)
         )
+    if name == "lr":
+        # prebuilt-one-hot wide batch: zero per-epoch one-hot construction,
+        # identical math/params (models/lr.py::widen)
+        cfg = cfg.replace(model_kwargs=dict(cfg.model_kwargs, wide_input=True))
     model = build_model(cfg, data)
     trainer = Trainer(
         model,
@@ -129,6 +129,8 @@ def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
         ),
     )
     batch, y, w = _train_batch(data, name)
+    if name == "lr":
+        batch = model.widen(batch)
     weights = {"train": w} if w is not None else None
     rng = jax.random.PRNGKey(0)
 

@@ -25,11 +25,34 @@ class LogisticRegression:
     # one-hot-matmul backward for the two bias-table gathers (the epoch's
     # only scatters; see ops/embedding.gather_matmul_bwd). Single-chip path.
     matmul_gather_bwd: bool = False
+    # full-batch fast path: ``apply`` expects ``widen(x)`` batches -- the id
+    # one-hots PREBUILT once outside the epoch scan, so fwd/bwd are three
+    # slice-matmuls with zero per-epoch one-hot construction or scatters.
+    # Mathematically identical to the gather formulation (onehot @ table ==
+    # table[ids]; the f32 dot adds exact zeros), params/Adam state unchanged.
+    wide_input: bool = False
 
     def init(self, key: jax.Array) -> dict:
         return linear_part_init(key, self.spec)
 
+    def widen(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[B, 45] reference layout -> [B, U + I + dense] with id one-hots."""
+        u = jax.nn.one_hot(x[:, self.spec.user_col].astype(jnp.int32),
+                           self.spec.num_users, dtype=x.dtype)
+        i = jax.nn.one_hot(x[:, self.spec.item_col].astype(jnp.int32),
+                           self.spec.num_items, dtype=x.dtype)
+        return jnp.concatenate([u, i, self.spec.dense(x)], axis=1)
+
     def apply(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+        if self.wide_input:
+            U, I = self.spec.num_users, self.spec.num_items
+            from deeplearningrecommendationsystem_tpu.ops.linear import linear
+
+            return (
+                x[:, :U] @ params["user_bias"]
+                + x[:, U : U + I] @ params["item_bias"]
+                + linear(params["wide"], x[:, U + I :])
+            )[:, 0]
         gather = None
         if self.matmul_gather_bwd:
             from deeplearningrecommendationsystem_tpu.ops.embedding import (
@@ -40,7 +63,12 @@ class LogisticRegression:
         return linear_part(params, x, self.spec, gather=gather)[:, 0]
 
     def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
-        return catalog_scores_from_features(self.apply, params, ctx)
+        fn = (
+            (lambda p, b: self.apply(p, self.widen(b)))
+            if self.wide_input
+            else self.apply
+        )
+        return catalog_scores_from_features(fn, params, ctx)
 
     def serving_factors(self, params: dict, ctx: ServingContext):
         """LR's pair score is rank-1 separable: score(u, i) = u_part[u] +

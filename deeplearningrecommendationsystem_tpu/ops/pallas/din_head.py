@@ -276,6 +276,7 @@ def _call_fwd(hist_e, target_e, weights, block_rows, interpret):
         out_specs=pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1), hist_e.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(hist_e, target_e, *weights)
     return out[:, 0]

@@ -250,6 +250,41 @@ def test_lr_matmul_gather_bwd_matches_default():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_lr_wide_input_matches_default():
+    """LogisticRegression(wide_input=True) on widen(x): same logits and same
+    param grads as the gather formulation (one-hot matmul == table[ids])."""
+    from deeplearningrecommendationsystem_tpu.models import LogisticRegression
+
+    base = LogisticRegression()
+    wide = LogisticRegression(wide_input=True)
+    params = base.init(jax.random.PRNGKey(2))
+    rng = np.random.default_rng(4)
+    x = np.zeros((60, 45), np.float32)
+    x[:, 0] = rng.integers(0, 943, 60)
+    x[:, 1] = rng.integers(0, 1682, 60)
+    x[:, 2:] = rng.random((60, 43))
+    x = jnp.asarray(x)
+    xw = wide.widen(x)
+    y = jnp.asarray((rng.random(60) < 0.5).astype(np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(wide.apply(params, xw)),
+        np.asarray(base.apply(params, x)),
+        atol=1e-6,
+    )
+
+    def loss(m, p, b):
+        lg = m.apply(p, b)
+        return jnp.mean(
+            jnp.maximum(lg, 0) - lg * y + jnp.log1p(jnp.exp(-jnp.abs(lg)))
+        )
+
+    g1 = jax.grad(lambda p: loss(base, p, x))(params)
+    g2 = jax.grad(lambda p: loss(wide, p, xw))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_matmul_gather_backward_context_matches_default():
     """TrainConfig.matmul_gather_bwd: identical loss curve + final params to
     the scatter-backward default (the context only swaps the gather's VJP)."""
