@@ -136,10 +136,15 @@ def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
 
     res = trainer.fit(rng, (batch, y), weights=weights)  # compile + warm
     jax.block_until_ready(res.params)
-    t0 = time.perf_counter()
-    res = trainer.fit(rng, (batch, y), weights=weights)
-    jax.block_until_ready(res.params)
-    dt = time.perf_counter() - t0
+    # best of 2: the relay's first post-compile execution is occasionally
+    # inflated 2-10x by transient relay/compile-queue state (CLAUDE.md);
+    # the fastest clean run is the program's actual speed
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = trainer.fit(rng, (batch, y), weights=weights)
+        jax.block_until_ready(res.params)
+        dt = min(dt, time.perf_counter() - t0)
 
     # examples per epoch: rated entries for the masked-matrix family
     # (matching the reference loop's loss terms), rows otherwise
@@ -160,6 +165,12 @@ def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
 def main() -> None:
     reference = _load_reference()
     data = MovieLens100K(DEFAULT_DATA, seed=0)
+    # absorb process-level first-execution overhead (plugin init, cache
+    # warmup) on a throwaway run so the first zoo model isn't penalized
+    try:
+        measure("mf", data, {})
+    except Exception:  # noqa: BLE001
+        pass
     details = {}
     for name in ZOO:
         try:
