@@ -109,11 +109,38 @@ def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
         cfg = cfg.replace(
             model_kwargs=dict(cfg.model_kwargs, fused_attention=True)
         )
-    if name == "lr":
-        # prebuilt-one-hot wide batch: zero per-epoch one-hot construction,
-        # identical math/params (models/lr.py::widen)
-        cfg = cfg.replace(model_kwargs=dict(cfg.model_kwargs, wide_input=True))
     model = build_model(cfg, data)
+    if name == "lr":
+        # whole-epoch fused kernel: fwd + BCE grad + weight grad + Adam in
+        # ONE Pallas call per epoch (ops/pallas/lr_epoch.py; exact trainer
+        # semantics, oracle-tested)
+        batch, y, _ = _train_batch(data, name)
+        n = int(y.shape[0])
+
+        def run_lr():
+            params = model.init(jax.random.PRNGKey(0))
+            p, losses = model.fast_fit(
+                params, batch, y, EPOCHS, cfg.learning_rate
+            )
+            jax.block_until_ready((p, losses))
+            return float(losses[-1])
+
+        final_loss = run_lr()  # compile + warm
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            final_loss = run_lr()
+            dt = min(dt, time.perf_counter() - t0)
+        out = {
+            "compute_dtype": "float32",
+            "examples_per_epoch": n,
+            "sec_total": dt,
+            "examples_per_sec": n * EPOCHS / dt,
+            "final_loss": final_loss,
+        }
+        if name in reference:
+            out["speedup_vs_reference"] = out["examples_per_sec"] / reference[name]
+        return out
     trainer = Trainer(
         model,
         TrainConfig(

@@ -62,6 +62,44 @@ class LogisticRegression:
             gather = gather_matmul_bwd
         return linear_part(params, x, self.spec, gather=gather)[:, 0]
 
+    def fast_fit(self, params: dict, x: jnp.ndarray, y: jnp.ndarray,
+                 epochs: int, learning_rate: float, interpret: bool = False):
+        """Full-batch Adam training via the whole-epoch fused kernel
+        (ops/pallas/lr_epoch.py): one Pallas call per epoch. Exact trainer
+        semantics (same loss, same Adam, pre-update loss history); the LR
+        parameters are one weight vector over [user one-hot, item one-hot,
+        dense, 1], so flatten/unflatten is a reshape. Returns
+        (params, losses[epochs])."""
+        from deeplearningrecommendationsystem_tpu.ops.pallas.lr_epoch import (
+            lr_fullbatch_train,
+        )
+
+        U, I = self.spec.num_users, self.spec.num_items
+        D = self.spec.dense_width
+        xw = self.widen(x)
+        B = xw.shape[0]
+        x_aug = jnp.concatenate([xw, jnp.ones((B, 1), xw.dtype)], axis=1)
+        F = U + I + D + 1
+        F_pad = -(-F // 128) * 128
+        if F_pad != F:
+            x_aug = jnp.pad(x_aug, ((0, 0), (0, F_pad - F)))
+        w0 = jnp.concatenate([
+            params["user_bias"][:, 0], params["item_bias"][:, 0],
+            params["wide"]["w"][:, 0], params["wide"]["b"],
+            jnp.zeros((F_pad - F,), jnp.float32),
+        ]).reshape(F_pad, 1)
+        w, losses = lr_fullbatch_train(
+            x_aug, y, w0, epochs, learning_rate, interpret=interpret
+        )
+        w = w[:, 0]
+        out = {
+            "user_bias": w[:U].reshape(U, 1),
+            "item_bias": w[U : U + I].reshape(I, 1),
+            "wide": {"w": w[U + I : U + I + D].reshape(D, 1),
+                     "b": w[U + I + D : U + I + D + 1]},
+        }
+        return out, losses
+
     def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
         fn = (
             (lambda p, b: self.apply(p, self.widen(b)))

@@ -285,6 +285,52 @@ def test_lr_wide_input_matches_default():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_lr_fast_fit_matches_trainer():
+    """Whole-epoch fused LR kernel (interpret mode): loss curve and final
+    params match the generic Trainer's Adam/BCE to float tolerance."""
+    from deeplearningrecommendationsystem_tpu.models import LogisticRegression
+    from deeplearningrecommendationsystem_tpu.train import TrainConfig, Trainer
+
+    model = LogisticRegression()
+    params = model.init(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(5)
+    B = 90  # ragged vs the 64-row test block
+    x = np.zeros((B, 45), np.float32)
+    x[:, 0] = rng.integers(0, 943, B)
+    x[:, 1] = rng.integers(0, 1682, B)
+    x[:, 2:] = rng.random((B, 43))
+    x = jnp.asarray(x)
+    y = jnp.asarray((rng.random(B) < 0.5).astype(np.float32))
+
+    tr = Trainer(model, TrainConfig(learning_rate=0.05, epochs=6, track_metrics=False))
+    want = tr.fit(jax.random.PRNGKey(0), (x, y), params=jax.tree.map(jnp.copy, params))
+
+    import deeplearningrecommendationsystem_tpu.ops.pallas.lr_epoch as lre
+
+    orig = lre.lr_fullbatch_train
+    lre.lr_fullbatch_train = lambda *a, **k: orig(*a, **{**k, "block_rows": 64, "interpret": True})
+    try:
+        got_params, losses = model.fast_fit(params, x, y, epochs=6, learning_rate=0.05)
+    finally:
+        lre.lr_fullbatch_train = orig
+
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(want.history["train_loss"]), rtol=1e-5
+    )
+    for key in ("user_bias", "item_bias"):
+        np.testing.assert_allclose(
+            np.asarray(got_params[key]), np.asarray(want.params[key]), atol=1e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(got_params["wide"]["w"]), np.asarray(want.params["wide"]["w"]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_params["wide"]["b"]), np.asarray(want.params["wide"]["b"]),
+        atol=1e-5,
+    )
+
+
 def test_matmul_gather_backward_context_matches_default():
     """TrainConfig.matmul_gather_bwd: identical loss curve + final params to
     the scatter-backward default (the context only swaps the gather's VJP)."""

@@ -92,13 +92,17 @@ def timed(model, x, y, matmul_bwd=True):
     )
     res = tr.fit(jax.random.PRNGKey(0), (x, y))
     jax.block_until_ready(res.params)
-    t0 = time.perf_counter()
-    res = tr.fit(jax.random.PRNGKey(0), (x, y))
-    cks = float(
-        sum(jnp.sum(jnp.abs(p.astype(jnp.float32))) for p in jax.tree.leaves(res.params))
-    )
-    dt = time.perf_counter() - t0
-    assert np.isfinite(cks)
+    # best of 2: the first post-warm run per program can hit a retrace +
+    # relay-compile stall (CLAUDE.md) and read 100x high
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = tr.fit(jax.random.PRNGKey(0), (x, y))
+        cks = float(
+            sum(jnp.sum(jnp.abs(p.astype(jnp.float32))) for p in jax.tree.leaves(res.params))
+        )
+        assert np.isfinite(cks)
+        dt = min(dt, time.perf_counter() - t0)
     return dt / EPOCHS * 1e3  # ms/epoch
 
 
