@@ -117,6 +117,7 @@ class Trainer:
         self.model = model
         self.config = config
         self.tx = torch_adam(config.learning_rate, config.weight_decay)
+        self._run = None  # jit-cached whole-run scan (built on first fit)
         self.fused_aux = aux_loss_fn == "model"
         self.aux_loss_fn = None if self.fused_aux else aux_loss_fn
         self.aux_weight = aux_weight
@@ -185,7 +186,6 @@ class Trainer:
         if opt_state is None:
             opt_state = self.tx.init(params)
 
-        train_batch, train_y = train
         track = cfg.track_metrics
 
         def split_metrics(prefix, logits, labels, w):
@@ -196,31 +196,50 @@ class Trainer:
             m[f"{prefix}_loss"] = _bce_with_logits(logits, labels, w)
             return m
 
-        def epoch(carry, _):
-            params, opt_state = carry
-            params_new, opt_state, loss, logits = self.train_step(
-                params, opt_state, train_batch, train_y, weights.get("train")
-            )
-            metrics = {"train_loss": loss}
-            if track:
-                metrics.update(
-                    {
-                        k: v
-                        for k, v in split_metrics(
-                            "train", logits, train_y, weights.get("train")
-                        ).items()
-                        if k != "train_loss"
-                    }
-                )
-                for name, split in (("valid", valid), ("test", test)):
-                    if split is not None:
-                        b, y = split
-                        lg = self.model.apply(params_new, b)
-                        metrics.update(split_metrics(name, lg, y, weights.get(name)))
-            return (params_new, opt_state), metrics
+        if self._run is None:
+            # The whole multi-epoch run is ONE jitted program, cached on the
+            # Trainer: lax.scan compiles the epoch body once, and repeated
+            # fit calls (benchmark reruns, campaigns over same-shape data)
+            # skip Python retracing entirely -- on the 2-core host, retracing
+            # a DIN-sized scan body costs ~1.2 s of host CPU per call,
+            # dominating sub-2 s training runs.
+            def run(params, opt_state, train, valid, test, weights):
+                train_batch, train_y = train
 
-        # lax.scan compiles the epoch body once; the whole multi-epoch run is
-        # a single device program with no per-epoch host dispatch.
+                def epoch(carry, _):
+                    params, opt_state = carry
+                    params_new, opt_state_new, loss, logits = self.train_step(
+                        params, opt_state, train_batch, train_y, weights.get("train")
+                    )
+                    metrics = {"train_loss": loss}
+                    if track:
+                        metrics.update(
+                            {
+                                k: v
+                                for k, v in split_metrics(
+                                    "train", logits, train_y, weights.get("train")
+                                ).items()
+                                if k != "train_loss"
+                            }
+                        )
+                        for name, split in (("valid", valid), ("test", test)):
+                            if split is not None:
+                                b, y = split
+                                lg = self.model.apply(params_new, b)
+                                metrics.update(
+                                    split_metrics(name, lg, y, weights.get(name))
+                                )
+                    return (params_new, opt_state_new), metrics
+
+                return jax.lax.scan(
+                    epoch, (params, opt_state), None, length=cfg.epochs
+                )
+
+            self._run = jax.jit(run)
+
+        # The EP / matmul-bwd contexts only need to be live while TRACING
+        # (routing is baked into the compiled program); both are derived from
+        # the per-instance config, so the cached trace stays valid.
         import contextlib
 
         stack = contextlib.ExitStack()
@@ -228,8 +247,8 @@ class Trainer:
         if cfg.matmul_gather_bwd:
             stack.enter_context(matmul_gather_backward())
         with stack:
-            (params, opt_state), history = jax.lax.scan(
-                epoch, (params, opt_state), None, length=cfg.epochs
+            (params, opt_state), history = self._run(
+                params, opt_state, train, valid, test, weights
             )
 
             extras: Dict[str, float] = {}

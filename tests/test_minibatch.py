@@ -63,3 +63,32 @@ def test_streaming_loader_epoch():
         seen.extend(np.asarray(batch["y"]).tolist())
     assert len(seen) == 6 * 16
     assert len(set(seen)) == len(seen)  # no duplicates within an epoch
+
+
+def test_trainer_jit_cache_reuse_matches_fresh():
+    """Repeated fit calls on ONE Trainer (jit-cached whole-run program,
+    Trainer._run) must equal fits from fresh Trainer instances -- including
+    with different data of the same shape and with metric tracking on."""
+    train_a = _toy(seed=0)
+    train_b = _toy(seed=1)  # same shapes, different values: no retrace
+    for track in (False, True):
+        cached = Trainer(
+            MatrixFactorization(20, 30, 8),
+            TrainConfig(learning_rate=0.05, epochs=7, track_metrics=track),
+        )
+        kw = dict(valid=train_b, test=train_a) if track else {}
+        res_a1 = cached.fit(jax.random.PRNGKey(0), train_a, **kw)
+        res_b = cached.fit(jax.random.PRNGKey(1), train_b, **kw)
+        res_a2 = cached.fit(jax.random.PRNGKey(0), train_a, **kw)
+        fresh = Trainer(
+            MatrixFactorization(20, 30, 8),
+            TrainConfig(learning_rate=0.05, epochs=7, track_metrics=track),
+        ).fit(jax.random.PRNGKey(1), train_b, **kw)
+        for got, want in zip(
+            jax.tree.leaves(res_b.params), jax.tree.leaves(fresh.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        for k in res_a1.history:
+            np.testing.assert_array_equal(
+                np.asarray(res_a1.history[k]), np.asarray(res_a2.history[k])
+            )
