@@ -123,10 +123,17 @@ def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
         @jax.jit
         def lr_run(key):
             params = model.init(key)
-            return model.fast_fit(params, batch, y, EPOCHS, cfg.learning_rate)
+            p, losses = model.fast_fit(params, batch, y, EPOCHS, cfg.learning_rate)
+            # scalar data-depending on the FINAL weight update: the relay can
+            # report donated-aliased buffers ready before writes land
+            # (CLAUDE.md r2), so the timed fetch must pull this, not
+            # losses[-1] (which is the last epoch's PRE-update loss)
+            checksum = sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(p))
+            return p, losses, checksum
 
         def run_lr():
-            p, losses = lr_run(jax.random.PRNGKey(0))
+            p, losses, checksum = lr_run(jax.random.PRNGKey(0))
+            float(checksum)  # device fetch: blocks until the last Adam write
             jax.block_until_ready((p, losses))
             return float(losses[-1])
 
@@ -171,11 +178,15 @@ def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
     # best of 3: relay executions are occasionally inflated 2-10x by
     # transient relay/compile-queue state (CLAUDE.md); the fastest clean run
     # is the program's actual speed. Retraced-free reruns (Trainer._run) make
-    # extra timed runs cheap.
+    # extra timed runs cheap. The timed fetch is _param_checksum -- a scalar
+    # the compiled run derives from EVERY final param buffer -- because this
+    # relay can report donated-aliased outputs ready before their writes land
+    # (CLAUDE.md r2 timing rule).
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         res = trainer.fit(rng, (batch, y), weights=weights)
+        float(res.history["_param_checksum"][-1])
         jax.block_until_ready(res.params)
         dt = min(dt, time.perf_counter() - t0)
 

@@ -100,7 +100,9 @@ class ExperimentResult:
         return self.train_examples * self.epochs / max(self.train_time_s, 1e-9)
 
     def final_metrics(self) -> Dict[str, float]:
-        out = {k: float(v[-1]) for k, v in self.history.items()}
+        out = {
+            k: float(v[-1]) for k, v in self.history.items() if not k.startswith("_")
+        }
         out.update(self.extras)
         return out
 

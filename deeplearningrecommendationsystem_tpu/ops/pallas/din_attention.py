@@ -1,5 +1,11 @@
 """Fused DIN activation-unit attention + pooling as a Pallas kernel.
 
+RETIRED -- measured loser: 0.28x vs XLA at the ml-100k serving shape
+(KERNEL_BENCH.json::din_attention). Kept as a measurement artifact and as the
+starting point for shapes where fusion could win (long histories, wide
+embeddings); NOT routed by any default path -- do not re-enable without a new
+winning measurement on the target shape.
+
 Benchmark verdict (tools/bench_kernels.py, v5e, [107k, 10, 64] f32): after
 porting this kernel's concat-decomposition identity back into the XLA path
 (ops/attention.py), XLA runs the op in ~2.3 ms vs ~7.4 ms for the best of

@@ -1,5 +1,11 @@
 """Embedding row gather with scalar-prefetched ids + double-buffered DMA.
 
+RETIRED -- measured loser: 0.37x vs XLA's gather at [262144 ids, 131072x128
+table] (KERNEL_BENCH.json::gather). Kept as a measurement artifact; NOT
+routed by any default path (the production embedding paths are the one-hot
+matmul backward + the sparse row optimizers) -- do not re-enable without a
+new winning measurement on the target shape.
+
 The lookup path of a (row-sharded) embedding table: ids are prefetched into
 SMEM before the kernel body runs (PrefetchScalarGridSpec), the table stays in
 HBM/ANY, and rows stream into the VMEM output block with N_INFLIGHT DMAs in

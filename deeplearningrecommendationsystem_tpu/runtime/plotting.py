@@ -43,6 +43,8 @@ def plot_history(
 
     series = {}
     for k, v in history.items():
+        if k.startswith("_"):  # internal scalars (e.g. _param_checksum)
+            continue
         arr = np.asarray(v)
         if arr.ndim == 1 and arr.size > 0 and np.issubdtype(arr.dtype, np.number):
             series[k] = arr

@@ -85,7 +85,9 @@ class TrainResult:
     # needs is kept out of the epoch scan for TPU compile-time sanity.
 
     def last(self) -> Dict[str, float]:
-        out = {k: float(v[-1]) for k, v in self.history.items()}
+        out = {
+            k: float(v[-1]) for k, v in self.history.items() if not k.startswith("_")
+        }
         out.update(self.extras)
         return out
 
@@ -117,7 +119,10 @@ class Trainer:
         self.model = model
         self.config = config
         self.tx = torch_adam(config.learning_rate, config.weight_decay)
-        self._run = None  # jit-cached whole-run scan (built on first fit)
+        # jit-cached whole-run scans, keyed on the config fields that are
+        # baked into the trace (TrainConfig is a mutable dataclass: mutating
+        # trainer.config between fits must rebuild, not silently reuse)
+        self._run_cache: Dict[Any, Any] = {}
         self.fused_aux = aux_loss_fn == "model"
         self.aux_loss_fn = None if self.fused_aux else aux_loss_fn
         self.aux_weight = aux_weight
@@ -196,6 +201,17 @@ class Trainer:
             m[f"{prefix}_loss"] = _bce_with_logits(logits, labels, w)
             return m
 
+        # Every config field the trace closes over is in the cache key; jit
+        # itself handles arg shapes/dtypes.
+        run_key = (
+            cfg.epochs,
+            track,
+            cfg.compute_dtype,
+            cfg.matmul_gather_bwd,
+            cfg.ep_strategy,
+            id(cfg.mesh),
+        )
+        self._run = self._run_cache.get(run_key)
         if self._run is None:
             # The whole multi-epoch run is ONE jitted program, cached on the
             # Trainer: lax.scan compiles the epoch body once, and repeated
@@ -231,11 +247,23 @@ class Trainer:
                                 )
                     return (params_new, opt_state_new), metrics
 
-                return jax.lax.scan(
+                carry, history = jax.lax.scan(
                     epoch, (params, opt_state), None, length=cfg.epochs
                 )
+                # Scalar checksum data-depending on EVERY final param buffer:
+                # on this relay, donated-aliased outputs can report ready
+                # before their writes land (CLAUDE.md r2), so timing harnesses
+                # block on this instead of on the params themselves. Shaped
+                # [1] so TrainResult.last()'s v[-1] indexing works.
+                leaves = [
+                    jnp.sum(x.astype(jnp.float32))
+                    for x in jax.tree.leaves(carry[0])
+                    if jnp.issubdtype(x.dtype, jnp.floating)
+                ]
+                history["_param_checksum"] = jnp.stack(leaves).sum()[None]
+                return carry, history
 
-            self._run = jax.jit(run)
+            self._run = self._run_cache[run_key] = jax.jit(run)
 
         # The EP / matmul-bwd contexts only need to be live while TRACING
         # (routing is baked into the compiled program); both are derived from
