@@ -59,9 +59,11 @@ def main(argv=None) -> int:
     )
     ap.add_argument(
         "--train-mode",
-        choices=["fullbatch", "minibatch", "sparse"],
+        choices=["fullbatch", "minibatch", "sparse", "stream"],
         help="fullbatch = reference parity regime; minibatch = shuffled SGD; "
-        "sparse = minibatch with row-sparse embedding updates (mf/deepfm)",
+        "sparse = minibatch with row-sparse embedding updates (mf/deepfm); "
+        "stream = host-streamed minibatches with device prefetch "
+        "(larger-than-HBM datasets, data/stream.py)",
     )
     ap.add_argument("--batch-size", type=int, help="minibatch/sparse batch size")
     ap.add_argument(

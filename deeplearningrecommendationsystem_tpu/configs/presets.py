@@ -32,7 +32,9 @@ class ExperimentConfig:
     # training regime: 'fullbatch' = the reference's one-step-per-epoch
     # (parity mode); 'minibatch' = shuffled SGD (train/minibatch.py);
     # 'sparse' = minibatch with row-sparse embedding updates
-    # (train/sparse_trainer.py; models implementing the sparse protocol)
+    # (train/sparse_trainer.py; models implementing the sparse protocol);
+    # 'stream' = host-streamed minibatches with device prefetch
+    # (train/minibatch.py::fit_stream; dataset stays in host memory)
     train_mode: str = "fullbatch"
     batch_size: int = 8192  # minibatch/sparse modes
     sparse_optimizer: str = "lazy_adam"  # 'lazy_adam' | 'rowwise_adagrad'

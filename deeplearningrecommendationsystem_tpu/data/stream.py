@@ -4,7 +4,8 @@ For datasets that don't fit in HBM: a background-free, double-buffered
 host->device pipeline -- while the device computes on batch i, batch i+1 is
 already being transferred. The reference has no dataloader at all (its
 ``data/dataloader.py`` is an empty stub, SURVEY.md §2.1); this is the
-additive streaming path for production-scale runs.
+additive streaming path for production-scale runs, consumed end-to-end by
+``train/minibatch.py::fit_stream`` (CLI ``--train-mode stream``).
 """
 
 from __future__ import annotations

@@ -280,6 +280,22 @@ def run_experiment(
         result = fit_minibatch(
             trainer, rng, batches["train"], batch_size=cfg.batch_size
         )
+    elif cfg.train_mode == "stream":
+        from deeplearningrecommendationsystem_tpu.train.minibatch import fit_stream
+
+        assert cfg.family != "matrix", "stream mode: masked-matrix family N/A"
+        # dataset stays in HOST memory; StreamingLoader shuffles + prefetches
+        b, y = batches["train"]
+        host_train = (jax.tree.map(np.asarray, b), np.asarray(y))
+        sharding = None
+        if mesh is not None and mesh.shape["data"] > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharding = NamedSharding(mesh, PartitionSpec("data"))
+        result = fit_stream(
+            trainer, rng, host_train, batch_size=cfg.batch_size,
+            sharding=sharding, seed=cfg.seed,
+        )
     elif cfg.train_mode == "sparse":
         from deeplearningrecommendationsystem_tpu.train import fit_minibatch_sparse
 

@@ -20,6 +20,10 @@ from deeplearningrecommendationsystem_tpu.parallel.embedding import (
     sharded_gather,
     sharded_gather_scatter,
 )
+from deeplearningrecommendationsystem_tpu.parallel.serving import (
+    sharded_catalog_topk,
+    sharded_topk,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -38,4 +42,6 @@ __all__ = [
     "shard_table",
     "sharded_gather",
     "sharded_gather_scatter",
+    "sharded_catalog_topk",
+    "sharded_topk",
 ]

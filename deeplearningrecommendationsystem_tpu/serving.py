@@ -66,53 +66,50 @@ class Recommender:
     def top_k(self, k: int, users: Optional[Sequence[int]] = None) -> np.ndarray:
         """[len(users), k] recommended item ids (all users by default).
 
-        Default policy = the measured winner per catalog size
-        (KERNEL_BENCH.json, re-measured on an idle host): plain XLA
-        matmul+mask+``lax.top_k`` at small catalogs, the two-stage group-max
-        algorithm (ops/pallas/serving_topk.py::topk_two_stage, 3.6x at
-        [2048 x 131072]) for factored models at catalogs > 8192. The fully
-        fused Pallas kernel measured BELOW XLA at both benched shapes
-        (ml-100k 0.93x, synthetic 0.76x) and is opt-in via
-        ``use_pallas="fused"`` only.
+        Default policy = the measured winner per catalog size for factored
+        models (KERNEL_BENCH.json, settled best-of-5 on an idle host,
+        tools/settle_topk.py): the fully fused Pallas score+mask+top-k kernel
+        (ops/pallas/serving_topk.py::topk_serve_matmul, 1.12x XLA at ml-100k
+        [943 x 1682], every repeat ahead of every XLA repeat) at catalogs
+        <= 8192, the two-stage group-max algorithm (topk_two_stage, 3.5x at
+        [2048 x 131072]) above. Non-factored models (scores precomputed by
+        ``score_catalog``) use plain ``lax.top_k``. ``use_pallas="fused"``
+        forces the fused kernel at every shape; ``use_pallas=False`` forces
+        plain XLA. All paths produce identical lists (tie order included).
         """
         on_tpu = jax.default_backend() == "tpu" and k <= 128
         factored = hasattr(self.model, "serving_factors")
+        if self.use_pallas and on_tpu and factored:
+            P, Q = self.model.serving_factors(self.params, self.ctx)
+            seen = self.seen
+            if seen is None:
+                seen = jnp.zeros((P.shape[0], Q.shape[0]), jnp.int8)
+            if users is not None:
+                u = jnp.asarray(users)
+                P, seen = P[u], seen[u]
+            if Q.shape[0] > 8192 and self.use_pallas != "fused":
+                from deeplearningrecommendationsystem_tpu.ops.pallas import (
+                    topk_two_stage,
+                )
+
+                _, idx = topk_two_stage(P, Q, seen, k=k)
+            else:
+                from deeplearningrecommendationsystem_tpu.ops.pallas import (
+                    topk_serve_matmul,
+                )
+
+                _, idx = topk_serve_matmul(P, Q, seen, k=k)
+            return np.asarray(idx)
         if self.use_pallas == "fused" and on_tpu:
             from deeplearningrecommendationsystem_tpu.ops.pallas import (
                 topk_scores_pallas,
-                topk_serve_matmul,
             )
 
-            if factored:
-                P, Q = self.model.serving_factors(self.params, self.ctx)
-                seen = self.seen
-                if seen is None:
-                    seen = jnp.zeros((P.shape[0], Q.shape[0]), jnp.int8)
-                if users is not None:
-                    u = jnp.asarray(users)
-                    P, seen = P[u], seen[u]
-                _, idx = topk_serve_matmul(P, Q, seen, k=k)
-                return np.asarray(idx)
             s = self.scores  # seen already masked at refresh
             if users is not None:
                 s = s[jnp.asarray(users)]
             _, idx = topk_scores_pallas(s, jnp.zeros(s.shape, jnp.int8), k=k)
             return np.asarray(idx)
-        if self.use_pallas and on_tpu and factored:
-            P, Q = self.model.serving_factors(self.params, self.ctx)
-            if Q.shape[0] > 8192:
-                from deeplearningrecommendationsystem_tpu.ops.pallas import (
-                    topk_two_stage,
-                )
-
-                seen = self.seen
-                if seen is None:
-                    seen = jnp.zeros((P.shape[0], Q.shape[0]), jnp.int8)
-                if users is not None:
-                    u = jnp.asarray(users)
-                    P, seen = P[u], seen[u]
-                _, idx = topk_two_stage(P, Q, seen, k=k)
-                return np.asarray(idx)
         s = self.scores
         if users is not None:
             s = s[jnp.asarray(users)]

@@ -4,6 +4,10 @@ from deeplearningrecommendationsystem_tpu.train.sparse import (
     RowwiseAdagradState,
     sparse_table_update,
 )
+from deeplearningrecommendationsystem_tpu.train.minibatch import (
+    fit_minibatch,
+    fit_stream,
+)
 from deeplearningrecommendationsystem_tpu.train.sparse_trainer import (
     fit_minibatch_sparse,
     merge_tables,
@@ -19,6 +23,8 @@ __all__ = [
     "LazyAdamState",
     "RowwiseAdagradState",
     "sparse_table_update",
+    "fit_minibatch",
+    "fit_stream",
     "fit_minibatch_sparse",
     "merge_tables",
     "pop_tables",

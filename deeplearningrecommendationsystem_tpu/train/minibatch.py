@@ -73,3 +73,55 @@ def fit_minibatch(
     return TrainResult(
         params=params, history={"train_loss": losses}, opt_state=opt_state
     )
+
+
+def fit_stream(
+    trainer: Trainer,
+    rng: jax.Array,
+    train: Tuple[Any, Any],  # pytree of HOST numpy arrays, equal leading dim
+    batch_size: int,
+    params: Any = None,
+    opt_state: Any = None,
+    sharding=None,
+    prefetch: int = 2,
+    seed: int = 0,
+) -> TrainResult:
+    """Minibatch SGD fed by the host-streaming loader (data/stream.py).
+
+    The larger-than-HBM training mode: the dataset stays in HOST memory as
+    numpy arrays; `StreamingLoader` shuffles on host and keeps ``prefetch``
+    batches in flight on device (async ``device_put`` overlaps H2D transfer
+    with the previous step's compute), so device memory holds only the model
+    plus ``prefetch`` batches. Same optimizer/loss semantics as
+    :func:`fit_minibatch` -- only the batch source differs (host stream +
+    host shuffle vs on-device ``jax.random.permutation``), so loss curves are
+    statistically, not bitwise, equivalent. Pass a ``NamedSharding`` to place
+    batches straight onto a DP mesh. CLI: ``--train-mode stream``.
+    """
+    from deeplearningrecommendationsystem_tpu.data.stream import StreamingLoader
+
+    model, cfg = trainer.model, trainer.config
+    batch, labels = train
+    loader = StreamingLoader(
+        (batch, labels), batch_size, seed=seed, sharding=sharding, prefetch=prefetch
+    )
+    assert len(loader) > 0, "batch_size larger than dataset"
+
+    if params is None:
+        params = model.init(rng)
+    if opt_state is None:
+        opt_state = trainer.tx.init(params)
+
+    step = jax.jit(trainer.train_step)  # compiled once; batches stream through
+    epoch_losses = []
+    for _ in range(cfg.epochs):
+        losses = []
+        for b, y in loader.epoch():
+            params, opt_state, loss, _ = step(params, opt_state, b, y)
+            losses.append(loss)  # device scalar; no per-step host sync
+        epoch_losses.append(jnp.mean(jnp.stack(losses)))
+    return TrainResult(
+        params=params,
+        history={"train_loss": jnp.stack(epoch_losses)},
+        opt_state=opt_state,
+    )

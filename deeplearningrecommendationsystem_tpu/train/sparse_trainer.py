@@ -95,6 +95,7 @@ def fit_minibatch_sparse(
     mesh: Any = None,
     ep_strategy: str = "psum",
     params: Any = None,
+    unshard: bool = True,  # False: keep tables row-sharded for sharded serving
 ) -> TrainResult:
     """Shuffled minibatch epochs; sparse row updates on the id tables.
 
@@ -174,11 +175,12 @@ def fit_minibatch_sparse(
             epoch, (dense, dense_opt, tables, states), erngs
         )
 
-    if ep_cfg is not None:
+    if ep_cfg is not None and unshard:
         tables = unshard_model_tables(tables, orig_heights)
     params = merge_tables(dense, model.sparse_tables, tables)
     return TrainResult(
         params=params,
         history={"train_loss": losses},
         opt_state={"dense": dense_opt, "sparse": states},
+        ep_heights=orig_heights if ep_cfg is not None and not unshard else None,
     )

@@ -60,6 +60,11 @@ class TrainConfig:
     # row-sharded over the model axis; SURVEY.md §2.5). None = dense tables.
     mesh: Any = None
     ep_strategy: str = "psum"  # 'psum' | 'scatter' (parallel/ep.py)
+    # False = leave tables row-sharded (vocab-padded) after fit for the
+    # sharded serving path (parallel/serving.py) -- at production vocabs a
+    # replicated table is exactly what does not fit on one chip. The sharded
+    # heights come back in TrainResult.ep_heights.
+    unshard_params: bool = True
     # dense-path gathers backward as one-hot MXU matmuls instead of TPU's
     # serialized scatter-add (parallel/ep.py::matmul_gather_backward);
     # bit-identical gradients, single-chip small-vocab fast path
@@ -81,6 +86,10 @@ class TrainResult:
     history: Dict[str, jnp.ndarray]  # each entry [epochs]
     extras: Dict[str, float] = dataclasses.field(default_factory=dict)
     opt_state: Any = None  # final optimizer state, for checkpoint/resume
+    # original (pre-padding) vocab per sharded table path, set when params
+    # are left row-sharded (unshard_params=False / unshard=False) so the
+    # sharded serving path knows the true vocab heights
+    ep_heights: Any = None
     # extras holds final-params-only metrics (true AUC per split): the sort it
     # needs is kept out of the epoch scan for TPU compile-time sanity.
 
@@ -291,9 +300,17 @@ class Trainer:
                     extras[f"{name}_auc_raw"] = float(
                         true_auc(y, probs, weights.get(name))
                     )
-        if ep_cfg is not None:
+        if ep_cfg is not None and cfg.unshard_params:
             # dense serving layout: strip vocab padding, replicate
             params = unshard_model_tables(params, self.ep_table_heights)
         return TrainResult(
-            params=params, history=history, extras=extras, opt_state=opt_state
+            params=params,
+            history=history,
+            extras=extras,
+            opt_state=opt_state,
+            ep_heights=(
+                self.ep_table_heights
+                if ep_cfg is not None and not cfg.unshard_params
+                else None
+            ),
         )
