@@ -45,6 +45,12 @@ class DIN:
     # one kernel with custom VJP; ops/pallas/din_head.py) -- one HBM read of
     # [B, L, D] per pass instead of ~5. Parity-mode (unmasked) only.
     fused_head: bool = False
+    # ONE [B, L+1] item-table gather for history+target instead of two
+    # separate gathers: one gather kernel forward, one combined one-hot
+    # matmul (or scatter) cotangent backward. Same math; summation grouping
+    # of the table gradient differs at ulp level, so the bit-exact parity
+    # default keeps two gathers and the throughput bench opts in.
+    fused_gather: bool = False
 
     def init(self, key: jax.Array) -> dict:
         ke, ka, kf = jax.random.split(key, 3)
