@@ -93,6 +93,20 @@ def _train_batch(data: MovieLens100K, name: str):
         return (jnp.asarray(combined["user"]), jnp.asarray(combined["item"])), y, None
     if cfg.family == "seq":
         hist = data.history_matrix(data.train, cfg.hist_len)
+        if name == "din":
+            # indirect-hist batch (models/din.py::indirect_hist): the epoch
+            # repeats each user's identical history row ~93x, so the model
+            # gathers it once per USER; 1.69x the standard path
+            # (DIN_8M_PROBE.json), quality at parity (DIN_INDIRECT_QUALITY.json)
+            return (
+                (
+                    jnp.asarray(hist),
+                    jnp.asarray(combined["user"]),
+                    jnp.asarray(combined["item"]),
+                ),
+                y,
+                None,
+            )
         return (
             (jnp.asarray(hist[combined["user"]]), jnp.asarray(combined["item"])),
             y,
@@ -109,6 +123,9 @@ def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
         cfg = cfg.replace(
             model_kwargs=dict(cfg.model_kwargs, fused_attention=True)
         )
+    if name == "din":
+        # per-user history dedup (see _train_batch's din branch)
+        cfg = cfg.replace(model_kwargs=dict(cfg.model_kwargs, indirect_hist=True))
     model = build_model(cfg, data)
     if name == "lr":
         # whole-epoch fused kernel: fwd + BCE grad + weight grad + Adam in

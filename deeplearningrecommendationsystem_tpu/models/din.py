@@ -49,8 +49,18 @@ class DIN:
     # separate gathers: one gather kernel forward, one combined one-hot
     # matmul (or scatter) cotangent backward. Same math; summation grouping
     # of the table gradient differs at ulp level, so the bit-exact parity
-    # default keeps two gathers and the throughput bench opts in.
+    # default keeps two gathers. Measured 0.96x on v5e (DIN_8M_PROBE.json):
+    # [B, 11] tiles worse than [B, 10] + [B]; kept for other shapes.
     fused_gather: bool = False
+    # Training batch as (hist_unique [U, L], user_idx [B], target [B]):
+    # exploits that the reference's full-batch epoch repeats each user's
+    # identical history row ~B/U times (scripts/din.py:55-63 builds hist by
+    # user lookup). The history embedding is gathered ONCE per user
+    # ([U, L, D]) and per-example rows come from a [B]-gather of [L*D]-wide
+    # user rows, so the gather backward shrinks from a [B*L, vocab] one-hot
+    # matmul to [B, U] + [U*L, vocab] -- ~45% fewer cotangent FLOPs and
+    # L*D = 640 is lane-aligned. Same math (ulp-level grouping difference).
+    indirect_hist: bool = False
 
     def init(self, key: jax.Array) -> dict:
         ke, ka, kf = jax.random.split(key, 3)
@@ -61,10 +71,28 @@ class DIN:
         }
 
     def _apply(self, params: dict, batch, use_pallas: bool) -> jnp.ndarray:
-        hist, target = batch  # [B, L] int, [B] int
         gather = gather_matmul_bwd if self.matmul_gather_bwd else gather_rows
-        hist_e = gather(params["item"], hist)  # [B, L, D]
-        target_e = gather(params["item"], target)  # [B, D]
+        if self.indirect_hist and len(batch) == 3:
+            hist_u, uidx, target = batch  # [U, L], [B], [B]
+            U, L = hist_u.shape
+            uh = gather(params["item"], hist_u)  # [U, L, D] -- once per user
+            hist_e = gather_rows(uh.reshape(U, L * uh.shape[-1]), uidx).reshape(
+                uidx.shape[0], L, uh.shape[-1]
+            )
+            target_e = gather(params["item"], target)
+            hist = hist_u[uidx]  # only used by mask_padding below
+        elif self.fused_gather:
+            # one [B, L+1] gather for history + target: one gather kernel
+            # forward, ONE combined cotangent (one-hot matmul / scatter)
+            # backward instead of two
+            hist, target = batch
+            ids = jnp.concatenate([hist, target[:, None]], axis=1)
+            e = gather(params["item"], ids)  # [B, L+1, D]
+            hist_e, target_e = e[:, :-1], e[:, -1]
+        else:
+            hist, target = batch  # [B, L] int, [B] int
+            hist_e = gather(params["item"], hist)  # [B, L, D]
+            target_e = gather(params["item"], target)  # [B, D]
         mask = None
         if self.mask_padding:
             # valid = positions after the leading zero-pad run; item 0 can

@@ -103,6 +103,46 @@ def test_seq_models():
         assert np.isfinite(np.asarray(out)).all()
 
 
+def test_din_indirect_hist_equivalent():
+    """indirect_hist training batch format: forward values EXACTLY equal the
+    standard path (the history embedding is the same gather composed), and
+    gradients match up to the one-hot-matmul summation regrouping."""
+    rng = np.random.default_rng(1)
+    U, L, B = 12, 10, 64
+    hist_u = jnp.asarray(rng.integers(0, I, (U, L)))
+    uidx = jnp.asarray(rng.integers(0, U, B))
+    target = jnp.asarray(rng.integers(0, I, B))
+    kw = dict(embed_size=8, attention_units=(16, 1), fc_units=(16, 1))
+    std = DIN(I, **kw)
+    ind = DIN(I, indirect_hist=True, **kw)
+    params = std.init(jax.random.PRNGKey(0))
+    out_std = std.apply(params, (hist_u[uidx], target))
+    out_ind = ind.apply(params, (hist_u, uidx, target))
+    np.testing.assert_array_equal(np.asarray(out_std), np.asarray(out_ind))
+    # mask_padding consistency (mask derives from the same [B, L] ids)
+    std_m = DIN(I, mask_padding=True, **kw)
+    ind_m = DIN(I, mask_padding=True, indirect_hist=True, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(std_m.apply(params, (hist_u[uidx], target))),
+        np.asarray(ind_m.apply(params, (hist_u, uidx, target))),
+    )
+    # a 2-tuple batch falls back to the standard path
+    np.testing.assert_array_equal(
+        np.asarray(ind.apply(params, (hist_u[uidx], target))),
+        np.asarray(out_std),
+    )
+
+    cot = jnp.asarray(rng.normal(size=B).astype(np.float32))
+    g_std = jax.grad(lambda p: jnp.sum(std.apply(p, (hist_u[uidx], target)) * cot))(
+        params
+    )
+    g_ind = jax.grad(lambda p: jnp.sum(ind.apply(p, (hist_u, uidx, target)) * cot))(
+        params
+    )
+    for a, b in zip(jax.tree.leaves(g_std), jax.tree.leaves(g_ind)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
 def test_autorec():
     model = AutoRec(num_input=I, hidden_units=16)
     params = model.init(jax.random.PRNGKey(0))
