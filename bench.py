@@ -141,18 +141,17 @@ def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
         def lr_run(key):
             params = model.init(key)
             p, losses = model.fast_fit(params, batch, y, EPOCHS, cfg.learning_rate)
-            # scalar data-depending on the FINAL weight update: the relay can
-            # report donated-aliased buffers ready before writes land
-            # (CLAUDE.md r2), so the timed fetch must pull this, not
-            # losses[-1] (which is the last epoch's PRE-update loss)
+            # one sync scalar: its VALUE is the final epoch loss, but it
+            # data-depends on the FINAL weight update too (the relay can
+            # report donated-aliased buffers ready before writes land,
+            # CLAUDE.md r2) -- so ONE fetch both returns the loss and blocks
+            # on every updated buffer, with no extra relay roundtrip
             checksum = sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(p))
-            return p, losses, checksum
+            return p, losses, losses[-1] + 0.0 * checksum
 
         def run_lr():
-            p, losses, checksum = lr_run(jax.random.PRNGKey(0))
-            float(checksum)  # device fetch: blocks until the last Adam write
-            jax.block_until_ready((p, losses))
-            return float(losses[-1])
+            _, _, sync = lr_run(jax.random.PRNGKey(0))
+            return float(sync)
 
         final_loss = run_lr()  # compile + warm
         dt = float("inf")
@@ -195,16 +194,16 @@ def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
     # best of 3: relay executions are occasionally inflated 2-10x by
     # transient relay/compile-queue state (CLAUDE.md); the fastest clean run
     # is the program's actual speed. Retraced-free reruns (Trainer._run) make
-    # extra timed runs cheap. The timed fetch is _param_checksum -- a scalar
-    # the compiled run derives from EVERY final param buffer -- because this
-    # relay can report donated-aliased outputs ready before their writes land
-    # (CLAUDE.md r2 timing rule).
+    # extra timed runs cheap. The ONLY sync is fetching _param_checksum -- a
+    # scalar the compiled run derives from EVERY final param and optimizer
+    # buffer -- because this relay can report donated-aliased outputs ready
+    # before their writes land (CLAUDE.md r2 timing rule), and each extra
+    # fetch/block roundtrip costs ~30 ms here.
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         res = trainer.fit(rng, (batch, y), weights=weights)
         float(res.history["_param_checksum"][-1])
-        jax.block_until_ready(res.params)
         dt = min(dt, time.perf_counter() - t0)
 
     # examples per epoch: rated entries for the masked-matrix family

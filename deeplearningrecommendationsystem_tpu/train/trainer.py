@@ -259,15 +259,16 @@ class Trainer:
                 carry, history = jax.lax.scan(
                     epoch, (params, opt_state), None, length=cfg.epochs
                 )
-                # Scalar checksum data-depending on EVERY final param buffer:
-                # on this relay, donated-aliased outputs can report ready
-                # before their writes land (CLAUDE.md r2), so timing harnesses
-                # block on this instead of on the params themselves. Shaped
+                # Scalar checksum data-depending on EVERY final param AND
+                # optimizer buffer: on this relay, donated-aliased outputs
+                # can report ready before their writes land (CLAUDE.md r2),
+                # so timing harnesses fetch THIS one scalar as their only
+                # sync (an extra fetch roundtrip costs ~30 ms here). Shaped
                 # [1] so TrainResult.last()'s v[-1] indexing works.
                 leaves = [
                     jnp.sum(x.astype(jnp.float32))
-                    for x in jax.tree.leaves(carry[0])
-                    if jnp.issubdtype(x.dtype, jnp.floating)
+                    for x in jax.tree.leaves(carry)
+                    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
                 ]
                 history["_param_checksum"] = jnp.stack(leaves).sum()[None]
                 return carry, history
