@@ -119,3 +119,34 @@ class Recommender:
     def score(self, user: int, items: Sequence[int]) -> np.ndarray:
         """Raw scores of specific items for one user."""
         return np.asarray(self.scores[user, jnp.asarray(items)])
+
+
+class ShardedRecommender:
+    """Serves top-K directly from EP-SHARDED params (parallel/serving.py).
+
+    For tables trained with ``unshard=False`` / ``unshard_params=False`` at
+    vocabs where a replicated table does not fit on one chip: item factors
+    never leave their shards; each query is a per-shard local top-k plus a
+    tiny [U, m*k] candidate exchange, list-identical to :class:`Recommender`
+    on the equivalent dense params (tests/test_sharded_serving.py). Requires
+    the model to expose ``serving_factors`` (scores == P @ Q^T).
+    """
+
+    def __init__(self, model, params, ctx: ServingContext, mesh, seen=None):
+        self.model = model
+        self.params = params
+        self.ctx = ctx
+        self.mesh = mesh
+        self.seen = jnp.asarray(seen) if seen is not None else None
+
+    def top_k(self, k: int, users: Optional[Sequence[int]] = None) -> np.ndarray:
+        from deeplearningrecommendationsystem_tpu.parallel.serving import (
+            sharded_catalog_topk,
+        )
+
+        u = jnp.asarray(users) if users is not None else None
+        _, idx = sharded_catalog_topk(
+            self.model, self.params, self.ctx, self.mesh, k,
+            seen=self.seen, users=u,
+        )
+        return np.asarray(idx)

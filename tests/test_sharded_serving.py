@@ -125,6 +125,31 @@ def test_sparse_ep_train_then_sharded_serve_end_to_end():
     )
 
 
+def test_sharded_recommender_matches_dense_recommender():
+    """ShardedRecommender over sharded params == Recommender over the same
+    params unsharded (list-for-list)."""
+    from deeplearningrecommendationsystem_tpu.serving import (
+        Recommender,
+        ShardedRecommender,
+    )
+
+    mesh = make_mesh(data=2, model=4)
+    U, I, k = 30, 70, 7
+    model = MatrixFactorization(U, I, embedding_dim=8)
+    params_dense = model.init(jax.random.PRNGKey(5))
+    params_sharded, _, _ = shard_model_tables(params_dense, mesh)
+    ctx = _ctx(U, I)
+    seen = np.random.default_rng(9).random((U, I)) < 0.2
+
+    dense = Recommender(model, params_dense, ctx, seen=seen, use_pallas=False)
+    sharded = ShardedRecommender(model, params_sharded, ctx, mesh, seen=seen)
+    np.testing.assert_array_equal(sharded.top_k(k), dense.top_k(k))
+    users = [2, 17, 29]
+    np.testing.assert_array_equal(
+        sharded.top_k(k, users=users), dense.top_k(k, users=users)
+    )
+
+
 def test_fullbatch_trainer_keep_sharded():
     """Trainer.fit(unshard_params=False) leaves padded sharded tables and
     records heights; the sharded serving path on them matches the default

@@ -120,7 +120,9 @@ def main():
 
         mf = MatrixFactorization(943, 1682, 64)
         params = mf.init(jax.random.PRNGKey(0))
-        fn = lambda: topk_serve_matmul(params["user"], params["item"], seen, k=50)  # noqa: E731
+        fn = jax.jit(
+            lambda: topk_serve_matmul(params["user"], params["item"], seen, k=50)
+        )
         dt = timeit(fn)
         results["mf_pallas_topk"] = {
             "seconds_all_users": dt,
