@@ -34,9 +34,15 @@ def gru_init(key: jax.Array, d_in: int, d_hidden: int, dtype=jnp.float32) -> dic
     }
 
 
-def _gates(p: dict, x_t: jnp.ndarray, h: jnp.ndarray):
+def _gates_from(p: dict, gi: jnp.ndarray, h: jnp.ndarray):
+    """Gate activations from a PRECOMPUTED input projection ``gi``.
+
+    The input half of the GRU equations (x_t @ w_ih + b_ih) has no recurrent
+    dependence, so callers hoist it out of the scan as ONE [B, L, 3H] matmul
+    (better MXU utilization, and it halves the matmuls on the sequential
+    chain); only the h @ w_hh half stays per-step.
+    """
     H = h.shape[-1]
-    gi = x_t @ p["w_ih"] + p["b_ih"]
     gh = h @ p["w_hh"] + p["b_hh"]
     i_r, i_z, i_n = gi[..., :H], gi[..., H : 2 * H], gi[..., 2 * H :]
     h_r, h_z, h_n = gh[..., :H], gh[..., H : 2 * H], gh[..., 2 * H :]
@@ -61,13 +67,14 @@ def gru(
     H = p["w_hh"].shape[0]
     if h0 is None:
         h0 = jnp.zeros((B, H), dtype=xs.dtype)
+    gis = xs @ p["w_ih"] + p["b_ih"]  # hoisted input projection [B, L, 3H]
 
-    def step(h, x_t):
-        z, n = _gates(p, x_t, h)
+    def step(h, gi_t):
+        z, n = _gates_from(p, gi_t, h)
         h_new = (1.0 - z) * n + z * h
         return h_new, h_new if return_sequence else None
 
-    h_final, seq = jax.lax.scan(step, h0, jnp.swapaxes(xs, 0, 1))
+    h_final, seq = jax.lax.scan(step, h0, jnp.swapaxes(gis, 0, 1))
     if return_sequence:
         return jnp.swapaxes(seq, 0, 1)  # [B, L, H]
     return h_final
@@ -90,16 +97,17 @@ def augru(
     H = p["w_hh"].shape[0]
     if h0 is None:
         h0 = jnp.zeros((B, H), dtype=xs.dtype)
+    gis = xs @ p["w_ih"] + p["b_ih"]  # hoisted input projection [B, L, 3H]
 
     def step(h, inp):
-        x_t, a_t = inp
-        z, n = _gates(p, x_t, h)
+        gi_t, a_t = inp
+        z, n = _gates_from(p, gi_t, h)
         z = a_t[:, None] * z
         h_new = (1.0 - z) * h + z * n
         return h_new, h_new if return_sequence else None
 
     h_final, seq = jax.lax.scan(
-        step, h0, (jnp.swapaxes(xs, 0, 1), jnp.swapaxes(att, 0, 1))
+        step, h0, (jnp.swapaxes(gis, 0, 1), jnp.swapaxes(att, 0, 1))
     )
     if return_sequence:
         return jnp.swapaxes(seq, 0, 1)
