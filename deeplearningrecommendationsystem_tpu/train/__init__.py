@@ -10,6 +10,7 @@ from deeplearningrecommendationsystem_tpu.train.minibatch import (
 )
 from deeplearningrecommendationsystem_tpu.train.sparse_trainer import (
     fit_minibatch_sparse,
+    fit_stream_sparse,
     merge_tables,
     pop_tables,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "fit_minibatch",
     "fit_stream",
     "fit_minibatch_sparse",
+    "fit_stream_sparse",
     "merge_tables",
     "pop_tables",
 ]

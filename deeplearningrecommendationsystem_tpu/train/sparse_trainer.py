@@ -184,3 +184,102 @@ def fit_minibatch_sparse(
         opt_state={"dense": dense_opt, "sparse": states},
         ep_heights=orig_heights if ep_cfg is not None and not unshard else None,
     )
+
+
+def fit_stream_sparse(
+    trainer: Trainer,
+    rng: jax.Array,
+    train: Tuple[Any, Any],  # pytree of HOST numpy arrays, equal leading dim
+    batch_size: int,
+    optimizer: str = "lazy_adam",
+    mesh: Any = None,
+    ep_strategy: str = "psum",
+    params: Any = None,
+    prefetch: int = 2,
+    seed: int = 0,
+    unshard: bool = True,
+) -> TrainResult:
+    """Row-sparse minibatch training fed by the host-streaming loader.
+
+    The full production composition: the DATASET stays in host memory
+    (``data/stream.py`` shuffles on host and keeps ``prefetch`` batches in
+    flight, so device memory holds only model + tables + a few batches) while
+    the embedding TABLES update row-sparsely (and optionally row-shard over
+    an EP mesh, staying sharded with ``unshard=False`` for
+    ``parallel/serving.py``). One jitted step streams batches through;
+    identical optimizer semantics to :func:`fit_minibatch_sparse` -- only the
+    batch source (host stream vs on-device permutation scan) differs.
+    """
+    from deeplearningrecommendationsystem_tpu.data.stream import StreamingLoader
+
+    model, cfg = trainer.model, trainer.config
+    assert hasattr(model, "sparse_tables"), (
+        f"{type(model).__name__} does not implement the sparse-table protocol"
+    )
+    batch_host, labels_host = train
+    loader = StreamingLoader(
+        (batch_host, labels_host), batch_size, seed=seed, prefetch=prefetch
+    )
+    assert len(loader) > 0, "batch_size larger than dataset"
+
+    if params is None:
+        params = model.init(rng)
+    dense, tables = pop_tables(params, model.sparse_tables)
+
+    ep_cfg, orig_heights = None, None
+    if mesh is not None and mesh.shape.get(MODEL_AXIS, 1) > 1:
+        tables, ep_cfg, orig_heights = shard_model_tables(tables, mesh, ep_strategy)
+
+    if optimizer == "lazy_adam":
+        states = {
+            k: LazyAdamState.init(t.shape[0], t.shape[1]) for k, t in tables.items()
+        }
+    elif optimizer == "rowwise_adagrad":
+        states = {k: RowwiseAdagradState.init(t.shape[0]) for k, t in tables.items()}
+    else:
+        raise ValueError(optimizer)
+
+    tx = trainer.tx
+    dense_opt = tx.init(dense)
+    lr = cfg.learning_rate
+
+    def step(dense, dense_opt, tables, states, b, y):
+        ids = model.table_ids(b)
+        rows = {k: gather_rows(t, ids[k]) for k, t in tables.items()}
+
+        def loss_fn(dense, rows):
+            return _bce_with_logits(model.apply_rows(dense, rows, b), y)
+
+        loss, (g_dense, g_rows) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            dense, rows
+        )
+        updates, dense_opt = tx.update(g_dense, dense_opt, dense)
+        dense = optax.apply_updates(dense, updates)
+        new_tables, new_states = {}, {}
+        for k in tables:
+            new_tables[k], new_states[k] = sparse_table_update(
+                tables[k], states[k], ids[k], g_rows[k], lr
+            )
+        return dense, dense_opt, new_tables, new_states, loss
+
+    with embedding_partitioning(ep_cfg):
+        jstep = jax.jit(step)  # traced under the EP context; compiled once
+        epoch_losses = []
+        for _ in range(cfg.epochs):
+            losses = []
+            for b, y in loader.epoch():
+                dense, dense_opt, tables, states, loss = jstep(
+                    dense, dense_opt, tables, states, b, y
+                )
+                losses.append(loss)  # device scalar; no per-step host sync
+            epoch_losses.append(jnp.mean(jnp.stack(losses)))
+
+    if ep_cfg is not None and unshard:
+        tables = unshard_model_tables(tables, orig_heights)
+    params = merge_tables(dense, model.sparse_tables, tables)
+    return TrainResult(
+        params=params,
+        history={"train_loss": jnp.stack(epoch_losses)},
+        opt_state={"dense": dense_opt, "sparse": states},
+        ep_heights=orig_heights if ep_cfg is not None and not unshard else None,
+    )

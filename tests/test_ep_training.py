@@ -169,6 +169,41 @@ def test_sparse_minibatch_deepfm_learns(ml100k):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_stream_sparse_learns_and_composes_with_ep():
+    """fit_stream_sparse: host-streamed batches + row-sparse updates, with and
+    without an EP mesh; can keep tables sharded for sharded serving."""
+    from deeplearningrecommendationsystem_tpu.train import fit_stream_sparse
+
+    (u, i), y = _pair_data(n=4096)
+    host = ((np.asarray(u), np.asarray(i)), np.asarray(y))
+    model = MatrixFactorization(943, 1682, 16)
+    tr = Trainer(model, TrainConfig(learning_rate=0.02, epochs=8, track_metrics=False))
+    res = fit_stream_sparse(tr, jax.random.PRNGKey(0), host, batch_size=512)
+    losses = np.asarray(res.history["train_loss"])
+    assert losses.shape == (8,)
+    assert losses[-1] < losses[0] * 0.95
+    assert res.params["user"].shape == (943, 16)
+
+    mesh = make_mesh(data=2, model=4)
+    res_ep = fit_stream_sparse(
+        tr, jax.random.PRNGKey(0), host, batch_size=512, mesh=mesh, unshard=False
+    )
+    assert res_ep.ep_heights, "tables should stay sharded"
+    assert res_ep.params["item"].shape[0] % 4 == 0  # padded vocab
+    assert np.isfinite(np.asarray(res_ep.history["train_loss"])).all()
+
+    # sharded serving straight off the streamed-sparse-EP run
+    from deeplearningrecommendationsystem_tpu.models.base import ServingContext
+    from deeplearningrecommendationsystem_tpu.parallel import sharded_catalog_topk
+
+    ctx = ServingContext(
+        user_features=jnp.zeros((943, 24)), item_features=jnp.zeros((1682, 19))
+    )
+    _, idx = sharded_catalog_topk(model, res_ep.params, ctx, mesh, 10)
+    assert idx.shape == (943, 10)
+    assert int(jnp.max(idx)) < 1682  # pad rows never win
+
+
 def test_sparse_rows_match_dense_adam_when_all_rows_touched():
     """When every row is touched every step, lazy Adam == dense Adam (no
     weight decay): trains the same tiny table both ways and compares."""
