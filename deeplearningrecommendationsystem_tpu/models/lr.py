@@ -63,21 +63,71 @@ class LogisticRegression:
         return linear_part(params, x, self.spec, gather=gather)[:, 0]
 
     def fast_fit(self, params: dict, x: jnp.ndarray, y: jnp.ndarray,
-                 epochs: int, learning_rate: float, interpret: bool = False):
-        """Full-batch Adam training via the whole-epoch fused kernel
-        (ops/pallas/lr_epoch.py): one Pallas call per epoch. Exact trainer
+                 epochs: int, learning_rate: float, interpret: bool = False,
+                 mode: str = "compact"):
+        """Full-batch Adam training via a fused Pallas kernel. Exact trainer
         semantics (same loss, same Adam, pre-update loss history); the LR
         parameters are one weight vector over [user one-hot, item one-hot,
         dense, 1], so flatten/unflatten is a reshape. Returns
-        (params, losses[epochs])."""
+        (params, losses[epochs]).
+
+        ``mode="wide"``: one Pallas call per epoch streaming the
+        materialized [B, F] one-hot design matrix (~742 MB/epoch at
+        ml-100k). ``mode="compact"`` (default): the whole multi-epoch run
+        is ONE pallas_call that streams only ids + the dense block
+        (~36 MB/epoch) and rebuilds one-hot contributions in-VMEM -- same
+        math, the one-hot never touches HBM."""
+        U, I = self.spec.num_users, self.spec.num_items
+        D = self.spec.dense_width
+        B = x.shape[0]
+        if mode == "compact":
+            from deeplearningrecommendationsystem_tpu.ops.pallas.lr_epoch import (
+                _round_up,
+                lr_fullbatch_train_compact,
+            )
+
+            u_pad, i_pad = _round_up(U, 128), _round_up(I, 128)
+            d_pad = _round_up(D + 1, 128)
+            uid = x[:, self.spec.user_col].astype(jnp.int32)
+            iid = x[:, self.spec.item_col].astype(jnp.int32)
+            dense_aug = jnp.concatenate(
+                [
+                    self.spec.dense(x).astype(jnp.float32),
+                    jnp.ones((B, 1), jnp.float32),
+                    jnp.zeros((B, d_pad - D - 1), jnp.float32),
+                ],
+                axis=1,
+            )
+            seg = lambda a, p: jnp.pad(a, (0, p - a.shape[0]))  # noqa: E731
+            w0 = jnp.concatenate([
+                seg(params["user_bias"][:, 0], u_pad),
+                seg(params["item_bias"][:, 0], i_pad),
+                seg(
+                    jnp.concatenate(
+                        [params["wide"]["w"][:, 0], params["wide"]["b"]]
+                    ),
+                    d_pad,
+                ),
+            ]).reshape(1, u_pad + i_pad + d_pad)
+            w, losses = lr_fullbatch_train_compact(
+                uid, iid, dense_aug, y, w0, epochs, learning_rate,
+                u_pad=u_pad, i_pad=i_pad, interpret=interpret,
+            )
+            w = w[0]
+            out = {
+                "user_bias": w[:U].reshape(U, 1),
+                "item_bias": w[u_pad : u_pad + I].reshape(I, 1),
+                "wide": {
+                    "w": w[u_pad + i_pad : u_pad + i_pad + D].reshape(D, 1),
+                    "b": w[u_pad + i_pad + D : u_pad + i_pad + D + 1],
+                },
+            }
+            return out, losses
         from deeplearningrecommendationsystem_tpu.ops.pallas.lr_epoch import (
             lr_fullbatch_train,
         )
 
-        U, I = self.spec.num_users, self.spec.num_items
-        D = self.spec.dense_width
         xw = self.widen(x)
-        B = xw.shape[0]
         x_aug = jnp.concatenate([xw, jnp.ones((B, 1), xw.dtype)], axis=1)
         F = U + I + D + 1
         F_pad = -(-F // 128) * 128

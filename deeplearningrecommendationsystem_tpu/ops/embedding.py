@@ -76,9 +76,22 @@ def _gather_mm_fwd(vocab, dtype_name, table, ids):
     return table[ids], ids
 
 
+# When True (TPU default), the cotangent uses the Pallas in-VMEM-mask kernel
+# (ops/pallas/onehot_grad.py): same FLOPs/accumulation as the XLA one-hot
+# dot, but the [N, vocab] one-hot operand never reaches HBM. XLA fallback on
+# CPU (tests) and for any backend without Mosaic.
+_PALLAS_ONEHOT_GRAD = True
+
+
 def _gather_mm_bwd(vocab, dtype_name, ids, g):
     flat_ids = ids.reshape(-1)
     flat_g = g.reshape(-1, g.shape[-1])
+    if _PALLAS_ONEHOT_GRAD and jax.default_backend() == "tpu":
+        from deeplearningrecommendationsystem_tpu.ops.pallas.onehot_grad import (
+            onehot_grad,
+        )
+
+        return onehot_grad(flat_ids, flat_g, vocab).astype(dtype_name), None
     onehot = (
         flat_ids[:, None] == jax.lax.broadcasted_iota(flat_ids.dtype, (1, vocab), 1)
     ).astype(flat_g.dtype)

@@ -152,3 +152,206 @@ def lr_fullbatch_train(
         epoch, init, jnp.arange(1, epochs + 1, dtype=jnp.int32)
     )
     return w, losses
+
+
+# ---------------------------------------------------------------------------
+# Compact whole-RUN kernel: the id one-hots never touch HBM at all.
+#
+# The wide kernel above streams the materialized [B, F] design matrix from
+# HBM every epoch (~742 MB/epoch at ml-100k) -- measured 1.34 ms/epoch, i.e.
+# pinned at the HBM stream. But the one-hot blocks are a function of two int32
+# ids per row: this kernel streams only [B] uid + [B] iid + the [B, 44] dense
+# block (~36 MB/epoch, 20x less) and rebuilds each one-hot contribution
+# in-VMEM with an iota==id compare mask. The whole multi-epoch run is ONE
+# pallas_call with grid (epochs, row_blocks): weights/Adam moments live in
+# constant-index output blocks that persist across the sequential TPU grid,
+# so there are no per-epoch launches either.
+#
+# Weight layout is segment-padded to lane multiples:
+#   [user | pad]  [item | pad]  [dense + ones-col | pad]   (each 128-aligned)
+# stored as ONE [1, F2] row so every slice is a 128-aligned lane slice and
+# the gradient re-assembles by lane-concat of offset-0 pieces (Mosaic concat
+# rules, CLAUDE.md r3). Padded lanes see zero grad forever -> Adam keeps them
+# exactly zero, same argument as the wide kernel's padded tail.
+#
+# Semantics are unchanged: mean sigmoid-BCE, pre-update loss per epoch, torch
+# Adam. Reference analogue: model/lr.py:24-25 + scripts/lr.py:53-59.
+# ---------------------------------------------------------------------------
+
+def _round_up(n: int, k: int) -> int:
+    return -(-n // k) * k
+
+
+def _compact_kernel(
+    uid_ref, iid_ref, d_ref, y_ref, wu0_ref, wi0_ref, wd0_ref,
+    wu_out, mu_out, vu_out, wi_out, mi_out, vi_out,
+    wd_out, md_out, vd_out, loss_out, dwu_out, dwi_out, dwd_out,
+    *, n_valid: int, block_rows: int,
+    lr: float, b1: float, b2: float, eps: float,
+):
+    # Mosaic layout rule (CLAUDE.md r3/r4): broadcasting or reducing a
+    # nonzero-offset LANE SLICE fails ("Invalid input layout"), so the three
+    # weight segments travel as separate offset-0 refs, never as slices of
+    # one packed [1, F2] row.
+    e = pl.program_id(0)
+    i = pl.program_id(1)
+    nblk = pl.num_programs(1)
+
+    segs = (
+        (wu0_ref, wu_out, mu_out, vu_out, dwu_out),
+        (wi0_ref, wi_out, mi_out, vi_out, dwi_out),
+        (wd0_ref, wd_out, md_out, vd_out, dwd_out),
+    )
+
+    @pl.when((e == 0) & (i == 0))
+    def _():
+        for w0_ref, w_out, m_out, v_out, _dw in segs:
+            w_out[:] = w0_ref[:]
+            m_out[:] = jnp.zeros_like(m_out[:])
+            v_out[:] = jnp.zeros_like(v_out[:])
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, 1), 0)
+    valid = rows + i * block_rows < n_valid
+    # ids of padded rows -> -1 (match nothing); dense/labels -> 0
+    uid = jnp.where(valid, uid_ref[:], -1)  # [R, 1] int32
+    iid = jnp.where(valid, iid_ref[:], -1)
+    d = jnp.where(valid, d_ref[:], 0.0)  # [R, Dp]
+    y = jnp.where(valid, y_ref[:], 0.0)  # [R, 1]
+
+    u_pad = wu_out.shape[1]
+    i_pad = wi_out.shape[1]
+    mu = (jax.lax.broadcasted_iota(jnp.int32, (block_rows, u_pad), 1)
+          == uid).astype(jnp.float32)  # [R, Up] -- never leaves VMEM
+    mi = (jax.lax.broadcasted_iota(jnp.int32, (block_rows, i_pad), 1)
+          == iid).astype(jnp.float32)  # [R, Ip]
+
+    z = (
+        jnp.sum(mu * wu_out[:], axis=1, keepdims=True)
+        + jnp.sum(mi * wi_out[:], axis=1, keepdims=True)
+        + jnp.sum(d * wd_out[:], axis=1, keepdims=True)
+    )  # [R, 1]
+    z = jnp.where(valid, z, 0.0)
+    bce = jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    bce = jnp.where(valid, bce, 0.0)
+    g = jnp.where(valid, (jax.nn.sigmoid(z) - y) / n_valid, 0.0)  # [R, 1]
+
+    blocks = (
+        jnp.sum(mu * g, axis=0, keepdims=True),  # [1, Up]
+        jnp.sum(mi * g, axis=0, keepdims=True),  # [1, Ip]
+        jnp.sum(d * g, axis=0, keepdims=True),  # [1, Dp]
+    )
+
+    @pl.when(i == 0)
+    def _():
+        for (_w0, _w, _m, _v, dw_out), blk in zip(segs, blocks):
+            dw_out[:] = blk
+        loss_out[e, 0] = jnp.sum(bce) / n_valid
+
+    @pl.when(i > 0)
+    def _():
+        for (_w0, _w, _m, _v, dw_out), blk in zip(segs, blocks):
+            dw_out[:] = dw_out[:] + blk
+        loss_out[e, 0] = loss_out[e, 0] + jnp.sum(bce) / n_valid
+
+    @pl.when(i == nblk - 1)
+    def _():
+        import math
+
+        t = (e + 1).astype(jnp.float32)
+        bc1 = 1.0 - jnp.exp(t * math.log(b1))
+        bc2 = 1.0 - jnp.exp(t * math.log(b2))
+        for _w0, w_out, m_out, v_out, dw_out in segs:
+            dw = dw_out[:]
+            m = b1 * m_out[:] + (1.0 - b1) * dw
+            v = b2 * v_out[:] + (1.0 - b2) * dw * dw
+            w_out[:] = w_out[:] - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+            m_out[:] = m
+            v_out[:] = v
+
+
+def lr_fullbatch_train_compact(
+    uid: jnp.ndarray,  # [B] int32 user ids
+    iid: jnp.ndarray,  # [B] int32 item ids
+    dense_aug: jnp.ndarray,  # [B, Dp] f32: dense cols + ones col, lane-padded
+    y: jnp.ndarray,  # [B] f32 labels
+    w0: jnp.ndarray,  # [1, F2] f32 segment-padded initial weights
+    epochs: int,
+    learning_rate: float,
+    u_pad: int,
+    i_pad: int,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    block_rows: int = 1024,  # measured best on v5e (0.613 ms/epoch at
+    # ml-100k; 256/512/2048 gave 0.73/0.62/0.64 -- LR_COMPACT_PROBE.json)
+    interpret: bool = False,
+):
+    """Train ``epochs`` full-batch Adam epochs in ONE pallas_call.
+
+    Returns ``(w_final [1, F2], losses [epochs])``.
+    """
+    B = uid.shape[0]
+    d_pad = dense_aug.shape[1]
+    F2 = u_pad + i_pad + d_pad
+    assert w0.shape == (1, F2), (w0.shape, F2)
+    nblk = pl.cdiv(B, block_rows)
+    grid = (epochs, nblk)
+    uid2 = uid.reshape(B, 1).astype(jnp.int32)
+    iid2 = iid.reshape(B, 1).astype(jnp.int32)
+    y2 = y.reshape(B, 1).astype(jnp.float32)
+    wu0 = w0[:, :u_pad]
+    wi0 = w0[:, u_pad : u_pad + i_pad]
+    wd0 = w0[:, u_pad + i_pad :]
+
+    row = lambda e, i: (i, 0)  # noqa: E731  re-streamed every epoch
+    const = lambda e, i: (0, 0)  # noqa: E731  persists across the whole grid
+
+    def seg_specs():
+        return [
+            pl.BlockSpec((1, u_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), const, memory_space=pltpu.VMEM),
+        ]
+
+    def seg_shapes():
+        return [
+            jax.ShapeDtypeStruct((1, u_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, i_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, d_pad), jnp.float32),
+        ]
+
+    su, si, sd = seg_specs()
+    hu, hi, hd = seg_shapes()
+    outs = pl.pallas_call(
+        functools.partial(
+            _compact_kernel, n_valid=B, block_rows=block_rows,
+            lr=learning_rate, b1=b1, b2=b2, eps=eps,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d_pad), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 1), row, memory_space=pltpu.VMEM),
+            su, si, sd,
+        ],
+        out_specs=[
+            # (w, m, v) per segment, then per-epoch losses, then the three
+            # gradient accumulators
+            su, su, su, si, si, si, sd, sd, sd,
+            pl.BlockSpec((epochs, 1), const, memory_space=pltpu.SMEM),
+            su, si, sd,
+        ],
+        out_shape=[
+            hu, hu, hu, hi, hi, hi, hd, hd, hd,
+            jax.ShapeDtypeStruct((epochs, 1), jnp.float32),
+            hu, hi, hd,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(uid2, iid2, dense_aug, y2, wu0, wi0, wd0)
+    wu, _, _, wi, _, _, wd, _, _, losses = outs[:10]
+    w = jnp.concatenate([wu, wi, wd], axis=1)
+    return w, losses[:, 0]

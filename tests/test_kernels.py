@@ -285,9 +285,12 @@ def test_lr_wide_input_matches_default():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
-def test_lr_fast_fit_matches_trainer():
-    """Whole-epoch fused LR kernel (interpret mode): loss curve and final
-    params match the generic Trainer's Adam/BCE to float tolerance."""
+@pytest.mark.parametrize("mode", ["wide", "compact"])
+def test_lr_fast_fit_matches_trainer(mode):
+    """Fused LR training kernels (interpret mode): loss curve and final
+    params match the generic Trainer's Adam/BCE to float tolerance -- both
+    the r3 whole-epoch wide kernel and the r4 whole-run compact kernel
+    (in-VMEM one-hot build, ops/pallas/lr_epoch.py)."""
     from deeplearningrecommendationsystem_tpu.models import LogisticRegression
     from deeplearningrecommendationsystem_tpu.train import TrainConfig, Trainer
 
@@ -307,12 +310,16 @@ def test_lr_fast_fit_matches_trainer():
 
     import deeplearningrecommendationsystem_tpu.ops.pallas.lr_epoch as lre
 
-    orig = lre.lr_fullbatch_train
-    lre.lr_fullbatch_train = lambda *a, **k: orig(*a, **{**k, "block_rows": 64, "interpret": True})
+    name = {"wide": "lr_fullbatch_train", "compact": "lr_fullbatch_train_compact"}[mode]
+    orig = getattr(lre, name)
+    setattr(lre, name,
+            lambda *a, **k: orig(*a, **{**k, "block_rows": 64, "interpret": True}))
     try:
-        got_params, losses = model.fast_fit(params, x, y, epochs=6, learning_rate=0.05)
+        got_params, losses = model.fast_fit(
+            params, x, y, epochs=6, learning_rate=0.05, mode=mode
+        )
     finally:
-        lre.lr_fullbatch_train = orig
+        setattr(lre, name, orig)
 
     np.testing.assert_allclose(
         np.asarray(losses), np.asarray(want.history["train_loss"]), rtol=1e-5
@@ -329,6 +336,32 @@ def test_lr_fast_fit_matches_trainer():
         np.asarray(got_params["wide"]["b"]), np.asarray(want.params["wide"]["b"]),
         atol=1e-5,
     )
+
+
+def test_onehot_grad_kernel_matches_scatter_add():
+    """Pallas in-VMEM-mask embedding backward (ops/pallas/onehot_grad.py,
+    interpret mode): equals a scatter-add of cotangent rows for ragged N,
+    D=1 bias tables, and bf16 cotangents."""
+    from deeplearningrecommendationsystem_tpu.ops.pallas.onehot_grad import (
+        onehot_grad,
+    )
+
+    rng = np.random.default_rng(7)
+    for N, V, D, dtype in [
+        (530, 1682, 16, np.float32),  # ragged vs the block size
+        (256, 943, 1, np.float32),  # bias table
+        (200, 100, 32, "bfloat16"),  # bf16 cotangents, f32 accumulation
+    ]:
+        ids = rng.integers(0, V, N)
+        g32 = rng.standard_normal((N, D)).astype(np.float32)
+        g = jnp.asarray(g32, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+        want = np.zeros((V, D), np.float32)
+        np.add.at(want, ids, np.asarray(g, np.float32))
+        got = onehot_grad(jnp.asarray(ids), g, V, block_rows=128, interpret=True)
+        assert got.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(got), want, atol=1e-2 if dtype == "bfloat16" else 1e-4
+        )
 
 
 def test_matmul_gather_backward_context_matches_default():
