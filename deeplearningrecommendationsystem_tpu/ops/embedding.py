@@ -76,11 +76,14 @@ def _gather_mm_fwd(vocab, dtype_name, table, ids):
     return table[ids], ids
 
 
-# When True (TPU default), the cotangent uses the Pallas in-VMEM-mask kernel
-# (ops/pallas/onehot_grad.py): same FLOPs/accumulation as the XLA one-hot
-# dot, but the [N, vocab] one-hot operand never reaches HBM. XLA fallback on
-# CPU (tests) and for any backend without Mosaic.
-_PALLAS_ONEHOT_GRAD = True
+# RETIRED default (measured loser, r4): the Pallas in-VMEM-mask backward
+# (ops/pallas/onehot_grad.py) was built on the hypothesis that XLA
+# materializes the [N, vocab] one-hot operand in HBM -- it does NOT: the TPU
+# backend fuses the compare-generated one-hot into the dot operand stream,
+# so the kernel only added mask-build VPU work. Full-training probe
+# (ONEHOT_GRAD_PROBE.json): 0.52x (ffm) .. 0.93x (dien) vs XLA across six
+# models. Kept as an opt-in measurement artifact, not routed by default.
+_PALLAS_ONEHOT_GRAD = False
 
 
 def _gather_mm_bwd(vocab, dtype_name, ids, g):

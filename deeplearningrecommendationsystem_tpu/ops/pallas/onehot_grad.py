@@ -1,14 +1,23 @@
-"""Embedding-gather backward without the HBM one-hot: mask built in-VMEM.
+"""RETIRED -- measured loser (0.52-0.93x vs XLA zoo-wide, r4 probe,
+ONEHOT_GRAD_PROBE.json); kept as a measurement artifact, not routed by any
+default path (ops/embedding._PALLAS_ONEHOT_GRAD = False).
 
-The one-hot-matmul backward (ops/embedding.gather_matmul_bwd) replaces TPU's
-serialized scatter-add with ``onehot(ids)^T @ g`` -- but XLA materializes the
-[N, vocab] one-hot operand in HBM before the dot (dot operands are not
-fusion targets), which costs ~1 GB/epoch per table at ml-100k batch sizes
-and dominates MF's whole step. This kernel streams only ``ids`` [N] and
+Embedding-gather backward with the one-hot mask built in-VMEM.
+
+The hypothesis was that XLA materializes the [N, vocab] one-hot operand of
+the matmul backward (ops/embedding.gather_matmul_bwd) in HBM, costing
+~1 GB/epoch per table at ml-100k batch sizes. The probe refuted it: the TPU
+XLA backend fuses the compare-generated one-hot into the dot operand stream
+(no HBM round-trip), so this kernel's only effect was adding VPU mask-build
+time: 0.62x on mf, 0.52x ffm, 0.74x neuralcf, 0.90x deepfm, 0.74x widedeep,
+0.93x dien (full-training probe, tools/probe_onehot_grad.py). Contrast with
+the LR compact kernel's 2.26x win (lr_epoch.py), where the design matrix WAS
+a real materialized HBM input.
+
+This kernel streams only ``ids`` [N] and
 ``g`` [N, D] from HBM, rebuilds each block's one-hot as an iota==id compare
 mask in VMEM, and accumulates ``mask^T @ g`` into a [vocab, D] f32 output
-block that persists across the sequential grid. Same FLOPs as the XLA dot,
-~vocab/2 x less HBM traffic.
+block that persists across the sequential grid. Same FLOPs as the XLA dot.
 
 Numerics: the dot accumulates in f32 (``preferred_element_type``) exactly
 like the XLA path; block-sequential summation order differs only by

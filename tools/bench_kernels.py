@@ -53,8 +53,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--only", nargs="+",
-        default=["din", "afm", "gather", "topk", "din_train", "afm_train"],
-        help="kernels to bench: din afm gather topk din_train afm_train",
+        default=["din", "afm", "gather", "topk", "din_train", "afm_train",
+                 "onehot"],
+        help="kernels to bench: din afm gather topk din_train afm_train onehot",
     )
     args = ap.parse_args()
     try:
@@ -69,6 +70,11 @@ def main():
         with open("KERNEL_BENCH.json", "w") as f:
             json.dump(results, f, indent=2)
         bench_serving_topk(results, key, "synthetic")
+        with open("KERNEL_BENCH.json", "w") as f:
+            json.dump(results, f, indent=2)
+
+    if "onehot" in args.only:
+        bench_onehot_grad(results, key)
         with open("KERNEL_BENCH.json", "w") as f:
             json.dump(results, f, indent=2)
 
@@ -151,6 +157,52 @@ def main():
     print(json.dumps(results, indent=2))
     with open("KERNEL_BENCH.json", "w") as f:
         json.dump(results, f, indent=2)
+
+
+def bench_onehot_grad(results, key):
+    """Embedding-gather backward: Pallas in-VMEM-mask kernel vs the XLA
+    materialized one-hot matmul (ops/pallas/onehot_grad.py). Shapes = the
+    zoo's real table cotangents (MF item bf16, FFM item f32, bias table)."""
+    from deeplearningrecommendationsystem_tpu.ops.pallas.onehot_grad import (
+        onehot_grad,
+    )
+
+    for tag, N, V, D, dtype in (
+        ("mf_item_bf16", 229359, 1682, 64, jnp.bfloat16),
+        ("ffm_item_f32", 69049, 1682, 32, jnp.float32),
+        ("bias_user_f32", 87909, 943, 1, jnp.float32),
+    ):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, hash(tag) % 997), 2)
+        ids = jax.random.randint(k1, (N,), 0, V)
+        g = jax.random.normal(k2, (N, D)).astype(dtype)
+
+        def xla_bwd(ids, g):
+            onehot = (
+                ids[:, None]
+                == jax.lax.broadcasted_iota(ids.dtype, (1, V), 1)
+            ).astype(g.dtype)
+            return jax.lax.dot_general(
+                onehot, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        xla = jax.jit(xla_bwd)
+        pal = jax.jit(lambda ids, g: onehot_grad(ids, g, V))
+        t_x = timeit(xla, ids, g)
+        t_p = timeit(pal, ids, g)
+        # SoL: read ids + g, write [V, D] f32; the XLA path additionally
+        # round-trips the [N, V] one-hot through HBM
+        bytes_min = ids.nbytes + g.nbytes + V * D * 4
+        results[f"onehot_grad_{tag}"] = {
+            "shape": [N, V, D],
+            "dtype": str(jnp.dtype(dtype)),
+            "xla_ms": t_x * 1e3,
+            "pallas_ms": t_p * 1e3,
+            "speedup": t_x / t_p,
+            "sol_ms_hbm_bound": bytes_min / (HBM_GBPS * 1e9) * 1e3,
+            "pallas_pct_of_sol": (bytes_min / (HBM_GBPS * 1e9)) / t_p * 100,
+        }
+        print(f"onehot_grad_{tag}", results[f"onehot_grad_{tag}"], flush=True)
 
 
 def bench_din_head_train(results, key):
