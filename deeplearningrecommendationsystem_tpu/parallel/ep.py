@@ -91,6 +91,26 @@ def active_partitioning() -> Optional[EmbeddingPartitioning]:
 
 
 _MATMUL_BWD = False
+_PALLAS_GATHER_MM = False
+
+
+@contextlib.contextmanager
+def pallas_gather_mm(enable: bool = True):
+    """Scope under which the DENSE gather_rows path uses the Pallas
+    mask-matmul kernels for BOTH directions (ops/pallas/gather_mm.py): fwd
+    ``mask @ table`` on the MXU, bwd the in-VMEM-mask accumulation. TPU v5e
+    has no gather hardware -- the native row-gather runs ~12x off HBM
+    bandwidth (r4 MF trace: 0.42 ms for a 29 MB result) and the one-hot
+    backward lowers to a slow VPU convolution emitter inside training loops.
+    Small-vocab tables only (the ml-100k zoo qualifies); takes precedence
+    over matmul_gather_backward. EP-routed tables are unaffected."""
+    global _PALLAS_GATHER_MM
+    prev = _PALLAS_GATHER_MM
+    _PALLAS_GATHER_MM = enable
+    try:
+        yield
+    finally:
+        _PALLAS_GATHER_MM = prev
 
 
 @contextlib.contextmanager
@@ -118,6 +138,12 @@ def gather_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """
     cfg = _ACTIVE
     if cfg is None or not cfg.routes(table):
+        if _PALLAS_GATHER_MM:
+            from deeplearningrecommendationsystem_tpu.ops.pallas.gather_mm import (
+                gather_rows_mm_pallas,
+            )
+
+            return gather_rows_mm_pallas(table, ids)
         if _MATMUL_BWD:
             from deeplearningrecommendationsystem_tpu.ops.embedding import (
                 gather_matmul_bwd,

@@ -36,6 +36,7 @@ from deeplearningrecommendationsystem_tpu.eval.pointwise import pointwise_metric
 from deeplearningrecommendationsystem_tpu.parallel.ep import (
     embedding_partitioning,
     matmul_gather_backward,
+    pallas_gather_mm,
     shard_model_tables,
     unshard_model_tables,
 )
@@ -69,6 +70,12 @@ class TrainConfig:
     # serialized scatter-add (parallel/ep.py::matmul_gather_backward);
     # bit-identical gradients, single-chip small-vocab fast path
     matmul_gather_bwd: bool = False
+    # dense-path gathers via the Pallas mask-matmul kernels in BOTH
+    # directions (parallel/ep.py::pallas_gather_mm): v5e has no gather
+    # hardware, so fwd table[ids] runs ~12x off HBM bandwidth natively;
+    # bit-identical forward, f32-accumulated backward. Small vocabs only.
+    # Takes precedence over matmul_gather_bwd.
+    pallas_gather: bool = False
 
 
 def _cast_floats(tree, dtype):
@@ -217,6 +224,7 @@ class Trainer:
             track,
             cfg.compute_dtype,
             cfg.matmul_gather_bwd,
+            cfg.pallas_gather,
             cfg.ep_strategy,
             id(cfg.mesh),
         )
@@ -282,6 +290,8 @@ class Trainer:
 
         stack = contextlib.ExitStack()
         stack.enter_context(embedding_partitioning(ep_cfg))
+        if cfg.pallas_gather:
+            stack.enter_context(pallas_gather_mm())
         if cfg.matmul_gather_bwd:
             stack.enter_context(matmul_gather_backward())
         with stack:

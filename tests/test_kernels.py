@@ -364,6 +364,44 @@ def test_onehot_grad_kernel_matches_scatter_add():
         )
 
 
+def test_gather_mm_pallas_matches_native(monkeypatch):
+    """Pallas mask-matmul gather (ops/pallas/gather_mm.py, interpret mode):
+    forward bit-equal to table[ids] (incl. bf16 + 2D ids), backward equal to
+    scatter-add."""
+    import deeplearningrecommendationsystem_tpu.ops.pallas.gather_mm as gmm
+
+    monkeypatch.setattr(
+        gmm, "gather_mm_fwd_pallas",
+        lambda table, ids, _o=gmm.gather_mm_fwd_pallas:
+        _o(table, ids, block_rows=64, interpret=True),
+    )
+    monkeypatch.setattr(
+        gmm, "onehot_grad",
+        lambda ids, g, vocab, _o=gmm.onehot_grad:
+        _o(ids, g, vocab, block_rows=64, interpret=True),
+    )
+    rng = np.random.default_rng(3)
+    for V, D, N, dt in [(943, 64, 530, jnp.float32), (100, 16, 90, jnp.bfloat16)]:
+        table = jnp.asarray(rng.standard_normal((V, D)), dt)
+        ids = jnp.asarray(rng.integers(0, V, N))
+        np.testing.assert_array_equal(
+            np.asarray(gmm.gather_rows_mm_pallas(table, ids)),
+            np.asarray(table[ids]),
+        )
+        gp = jax.grad(
+            lambda t: jnp.sum(
+                jnp.sin(gmm.gather_rows_mm_pallas(t, ids).astype(jnp.float32))
+            )
+        )(table)
+        gx = jax.grad(
+            lambda t: jnp.sum(jnp.sin(t[ids].astype(jnp.float32)))
+        )(table)
+        np.testing.assert_allclose(
+            np.asarray(gp, np.float32), np.asarray(gx, np.float32),
+            atol=3e-2 if dt == jnp.bfloat16 else 1e-5,
+        )
+
+
 def test_matmul_gather_backward_context_matches_default():
     """TrainConfig.matmul_gather_bwd: identical loss curve + final params to
     the scatter-backward default (the context only swaps the gather's VJP)."""
