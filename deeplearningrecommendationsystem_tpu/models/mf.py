@@ -36,6 +36,25 @@ class MatrixFactorization:
             axis=-1,
         )
 
+    def fast_fit(self, params: dict, batch, y: jnp.ndarray, epochs: int,
+                 learning_rate: float, weight_decay: float = 0.0,
+                 compute_dtype: str = "bfloat16", interpret: bool = False):
+        """Full-batch Adam training via the whole-RUN fused kernel
+        (ops/pallas/mf_epoch.py): gathers, loss, one-hot backward and the
+        torch-Adam update for ALL epochs in ONE pallas_call. Same semantics
+        as Trainer.fit with the given compute_dtype (f32 variant
+        oracle-tested); returns (params, losses[epochs])."""
+        from deeplearningrecommendationsystem_tpu.ops.pallas.mf_epoch import (
+            mf_fullbatch_train,
+        )
+
+        users, items = batch
+        pu, pi, losses = mf_fullbatch_train(
+            users, items, y, params["user"], params["item"], epochs,
+            learning_rate, weight_decay, compute_dtype, interpret=interpret,
+        )
+        return {"user": pu, "item": pi}, losses
+
     def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
         return params["user"] @ params["item"].T
 

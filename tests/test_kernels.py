@@ -364,6 +364,48 @@ def test_onehot_grad_kernel_matches_scatter_add():
         )
 
 
+def test_mf_fused_kernel_matches_trainer(monkeypatch):
+    """Whole-run fused MF kernel (ops/pallas/mf_epoch.py, interpret mode,
+    f32): loss curve and final factor tables match the generic Trainer's
+    Adam + weight decay to float tolerance. (Retired as a default route --
+    measured loser at MF shapes, MF_FUSED_PROBE.json -- but the semantics
+    stay oracle-locked.)"""
+    from deeplearningrecommendationsystem_tpu.models import MatrixFactorization
+    from deeplearningrecommendationsystem_tpu.train import TrainConfig, Trainer
+    import deeplearningrecommendationsystem_tpu.ops.pallas.mf_epoch as mfe
+
+    rng = np.random.default_rng(0)
+    U, I, D, B = 50, 81, 16, 300
+    model = MatrixFactorization(U, I, D)
+    params = model.init(jax.random.PRNGKey(2))
+    batch = (jnp.asarray(rng.integers(0, U, B)),
+             jnp.asarray(rng.integers(0, I, B)))
+    y = jnp.asarray((rng.random(B) < 0.5).astype(np.float32))
+
+    tr = Trainer(model, TrainConfig(learning_rate=0.01, weight_decay=1e-5,
+                                    epochs=6, track_metrics=False,
+                                    matmul_gather_bwd=True))
+    want = tr.fit(jax.random.PRNGKey(0), (batch, y),
+                  params=jax.tree.map(jnp.copy, params))
+
+    monkeypatch.setattr(
+        mfe, "mf_fullbatch_train",
+        lambda *a, _o=mfe.mf_fullbatch_train, **k:
+        _o(*a, **{**k, "block_rows": 64, "interpret": True}),
+    )
+    got, losses = model.fast_fit(
+        jax.tree.map(jnp.copy, params), batch, y, 6, 0.01,
+        weight_decay=1e-5, compute_dtype="float32",
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(want.history["train_loss"]), rtol=2e-5
+    )
+    for k in ("user", "item"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want.params[k]), atol=2e-5
+        )
+
+
 def test_gather_mm_pallas_matches_native(monkeypatch):
     """Pallas mask-matmul gather (ops/pallas/gather_mm.py, interpret mode):
     forward bit-equal to table[ids] (incl. bf16 + 2D ids), backward equal to
