@@ -138,7 +138,11 @@ def gather_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """
     cfg = _ACTIVE
     if cfg is None or not cfg.routes(table):
-        if _PALLAS_GATHER_MM:
+        # mask-matmul kernels build a [block, vocab] mask in VMEM; beyond a
+        # few thousand rows that mask no longer fits / crawls, so the route
+        # is gated to small vocabs (the ml-100k zoo) and falls back to the
+        # native path for anything larger (ADVICE r4).
+        if _PALLAS_GATHER_MM and table.shape[0] <= 4096:
             from deeplearningrecommendationsystem_tpu.ops.pallas.gather_mm import (
                 gather_rows_mm_pallas,
             )

@@ -8,6 +8,7 @@ speed-of-light estimate (HBM-bandwidth bound) per kernel.
 from __future__ import annotations
 
 import json
+import zlib
 import os
 import sys
 import time
@@ -172,7 +173,7 @@ def bench_onehot_grad(results, key):
         ("ffm_item_f32", 69049, 1682, 32, jnp.float32),
         ("bias_user_f32", 87909, 943, 1, jnp.float32),
     ):
-        k1, k2 = jax.random.split(jax.random.fold_in(key, hash(tag) % 997), 2)
+        k1, k2 = jax.random.split(jax.random.fold_in(key, zlib.crc32(tag.encode()) % 997), 2)
         ids = jax.random.randint(k1, (N,), 0, V)
         g = jax.random.normal(k2, (N, D)).astype(dtype)
 

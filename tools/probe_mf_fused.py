@@ -31,4 +31,5 @@ for cd in ("bfloat16", "float32"):
     out[cd] = {"ms_per_epoch": dt/EPOCHS*1e3, "examples_per_sec": n*EPOCHS/dt,
                "final_loss": final, "compile_s": c}
     print(cd, out[cd], flush=True)
-json.dump(out, open("/tmp/mf_fused_probe.json", "w"), indent=1)
+json.dump(out, open(os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "MF_FUSED_PROBE.json"), "w"), indent=1)

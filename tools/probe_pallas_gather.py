@@ -38,7 +38,7 @@ from deeplearningrecommendationsystem_tpu.train import TrainConfig, Trainer  # n
 MODELS = ("mf", "ffm", "neuralcf", "deepfm", "widedeep", "dien", "nfm", "pnn")
 
 
-def run_one(name, data, reference, pallas: bool):
+def run_one(name, data, pallas: bool):
     cfg = PRESETS[name]
     model = build_model(cfg, data)
     trainer = Trainer(
@@ -65,11 +65,6 @@ def run_one(name, data, reference, pallas: bool):
         res = trainer.fit(rng, (batch, y), weights=weights)
         final = float(res.history["_param_checksum"][-1])
         dt = min(dt, time.perf_counter() - t0)
-    n = int(
-        y.shape[0]
-        if not isinstance(batch, tuple)
-        else (batch[0].shape[0] if name != "din" else y.shape[0])
-    )
     loss = float(res.history["train_loss"][-1])
     return {
         "sec_total": dt,
@@ -82,7 +77,6 @@ def run_one(name, data, reference, pallas: bool):
 def main():
     only = sys.argv[1:] or MODELS
     data = MovieLens100K(DEFAULT_DATA)
-    reference = bench._load_reference()
     try:
         out = json.load(open("PALLAS_GATHER_PROBE.json"))
     except FileNotFoundError:
@@ -91,7 +85,7 @@ def main():
         row = out.get(name, {})
         for pallas in (False, True):
             key = "pallas" if pallas else "default"
-            row[key] = run_one(name, data, reference, pallas)
+            row[key] = run_one(name, data, pallas)
             print(name, key, row[key]["sec_total"], row[key]["final_loss"],
                   flush=True)
         row["speedup_pallas_vs_default"] = (
