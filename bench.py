@@ -70,9 +70,10 @@ def _load_reference():
     return ref
 
 
-def _train_batch(data: MovieLens100K, name: str):
+def _train_batch(data: MovieLens100K, name: str, indirect: bool = True):
     """(batch, labels, weights) replicating the reference script's training
-    tensors (SURVEY.md §2.4 negatives; §3 pipelines)."""
+    tensors (SURVEY.md §2.4 negatives; §3 pipelines). ``indirect=False``
+    forces the standard (non-deduped) batch layout for DIN/DIEN."""
     cfg = PRESETS[name]
     if cfg.family == "matrix":
         sampler = NegativeSampler(data.seen_mask(data.data), seed=0)
@@ -93,11 +94,12 @@ def _train_batch(data: MovieLens100K, name: str):
         return (jnp.asarray(combined["user"]), jnp.asarray(combined["item"])), y, None
     if cfg.family == "seq":
         hist = data.history_matrix(data.train, cfg.hist_len)
-        if name == "din":
-            # indirect-hist batch (models/din.py::indirect_hist): the epoch
-            # repeats each user's identical history row ~93x, so the model
-            # gathers it once per USER; 1.69x the standard path
-            # (DIN_8M_PROBE.json), quality at parity (DIN_INDIRECT_QUALITY.json)
+        if indirect and name in ("din", "dien"):
+            # indirect-hist batch (models/din.py::indirect_hist, ported to
+            # DIEN in r5): the epoch repeats each user's identical history
+            # row ~93x, so the model gathers it once per USER; 1.69x the
+            # standard DIN path (DIN_8M_PROBE.json), quality at parity
+            # (DIN_INDIRECT_QUALITY.json / DIEN_INDIRECT_QUALITY.json)
             return (
                 (
                     jnp.asarray(hist),
@@ -123,8 +125,8 @@ def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
         cfg = cfg.replace(
             model_kwargs=dict(cfg.model_kwargs, fused_attention=True)
         )
-    if name == "din":
-        # per-user history dedup (see _train_batch's din branch)
+    if name in ("din", "dien"):
+        # per-user history dedup (see _train_batch's seq branch)
         cfg = cfg.replace(model_kwargs=dict(cfg.model_kwargs, indirect_hist=True))
     model = build_model(cfg, data)
     if name == "lr":

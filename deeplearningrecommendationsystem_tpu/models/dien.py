@@ -37,6 +37,17 @@ class DIEN:
     use_augru: bool = False
     # see models/din.py: one-hot-matmul backward for the item-table gathers
     matmul_gather_bwd: bool = False
+    # Training batch as (hist_unique [U, L], user_idx [B], target [B]) --
+    # DIN's per-user history dedup (models/din.py::indirect_hist) ported to
+    # DIEN (VERDICT r4 next #2): the reference's full-batch epoch repeats
+    # each user's identical [L] history ~B/U times (scripts/dien.py builds
+    # hist by user lookup exactly like scripts/din.py:55-63), so the history
+    # embedding is gathered ONCE per user ([U, L, D]) and per-example rows
+    # come from a [B]-gather of [L*D]-wide user rows. Same math; only the
+    # table-gradient summation grouping differs (ulp-level). The indirect
+    # batch is recognised by its 1-D third element (an aux-loss batch's
+    # third element, neg_hist, is 2-D).
+    indirect_hist: bool = False
 
     def init(self, key: jax.Array) -> dict:
         ke, ka, kg, kf, kv = jax.random.split(key, 5)
@@ -71,11 +82,27 @@ class DIEN:
         interest = gru(params["gru"], hist_e * w[..., None])
         return (interest, None) if return_states else interest
 
-    def apply(self, params: dict, batch) -> jnp.ndarray:
-        hist, target = batch[0], batch[1]  # batch may carry neg_hist as [2]
+    def _embed_batch(self, params: dict, batch):
+        """(hist_e [B, L, D], target_e [B, D], rest) resolving the optional
+        indirect-hist batch layout (see ``indirect_hist``). ``rest`` carries
+        any trailing elements (the aux loss's ``neg_hist``)."""
         gather = gather_matmul_bwd if self.matmul_gather_bwd else gather_rows
+        if self.indirect_hist and len(batch) >= 3 and batch[2].ndim == 1:
+            hist_u, uidx, target = batch[0], batch[1], batch[2]
+            U, L = hist_u.shape
+            uh = gather(params["item"], hist_u)  # [U, L, D] -- once per user
+            hist_e = gather_rows(uh.reshape(U, L * uh.shape[-1]), uidx).reshape(
+                uidx.shape[0], L, uh.shape[-1]
+            )
+            target_e = gather(params["item"], target)
+            return hist_e, target_e, batch[3:]
+        hist, target = batch[0], batch[1]  # batch may carry neg_hist as [2]
         hist_e = gather(params["item"], hist)  # [B, L, D]
         target_e = gather(params["item"], target)  # [B, D]
+        return hist_e, target_e, batch[2:]
+
+    def apply(self, params: dict, batch) -> jnp.ndarray:
+        hist_e, target_e, _ = self._embed_batch(params, batch)
         w = din_attention_weights(params["att"], hist_e, target_e)  # [B, L]
         interest = self._interest(params, hist_e, w)
         x = jnp.concatenate([interest, target_e], axis=-1)
@@ -141,10 +168,8 @@ class DIEN:
         embeddings, so the aux states cannot be shared and one extra raw-input
         scan runs; with ``use_augru`` the extractor scan is shared outright.
         """
-        hist, target, neg_hist = batch[0], batch[1], batch[2]
-        gather = gather_matmul_bwd if self.matmul_gather_bwd else gather_rows
-        hist_e = gather(params["item"], hist)  # [B, L, D]
-        target_e = gather(params["item"], target)  # [B, D]
+        hist_e, target_e, rest = self._embed_batch(params, batch)
+        neg_hist = rest[0]  # indirect batch: (hist_u, uidx, target, neg_hist)
         w = din_attention_weights(params["att"], hist_e, target_e)  # [B, L]
         interest, states = self._interest(params, hist_e, w, return_states=True)
         if states is None:  # parity-shape main path: unshared extractor

@@ -143,6 +143,48 @@ def test_din_indirect_hist_equivalent():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
 
 
+def test_dien_indirect_hist_equivalent():
+    """DIEN port of DIN's per-user history dedup (VERDICT r4 #2): forward
+    values EXACTLY equal the standard path; gradients match up to the
+    one-hot-matmul summation regrouping; the aux-loss batch (2-D third
+    element) still routes through the standard path."""
+    rng = np.random.default_rng(3)
+    U_, L, B = 12, 10, 64
+    hist_u = jnp.asarray(rng.integers(0, I, (U_, L)))
+    uidx = jnp.asarray(rng.integers(0, U_, B))
+    target = jnp.asarray(rng.integers(0, I, B))
+    kw = dict(embed_size=8, attention_units=(16, 1), fc_units=(16, 1))
+    std = DIEN(I, **kw)
+    ind = DIEN(I, indirect_hist=True, **kw)
+    params = std.init(jax.random.PRNGKey(0))
+    out_std = std.apply(params, (hist_u[uidx], target))
+    out_ind = ind.apply(params, (hist_u, uidx, target))
+    np.testing.assert_array_equal(np.asarray(out_std), np.asarray(out_ind))
+    # a 2-tuple batch falls back to the standard path
+    np.testing.assert_array_equal(
+        np.asarray(ind.apply(params, (hist_u[uidx], target))), np.asarray(out_std)
+    )
+    # gradients: identical math, regrouped table-cotangent summation
+    cot = jnp.asarray(rng.normal(size=B).astype(np.float32))
+    g_std = jax.grad(lambda p: jnp.sum(std.apply(p, (hist_u[uidx], target)) * cot))(
+        params
+    )
+    g_ind = jax.grad(lambda p: jnp.sum(ind.apply(p, (hist_u, uidx, target)) * cot))(
+        params
+    )
+    for a, b in zip(jax.tree.leaves(g_std), jax.tree.leaves(g_ind)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+    # aux-loss batches: standard 3-tuple (neg_hist 2-D) is NOT misrouted,
+    # and the indirect 4-tuple matches it exactly
+    neg_hist = jnp.asarray(rng.integers(0, I, (B, L)))
+    l_std, a_std = std.apply_with_aux(params, (hist_u[uidx], target, neg_hist))
+    l_ind, a_ind = ind.apply_with_aux(params, (hist_u, uidx, target, neg_hist))
+    l_pass, a_pass = ind.apply_with_aux(params, (hist_u[uidx], target, neg_hist))
+    np.testing.assert_array_equal(np.asarray(l_std), np.asarray(l_ind))
+    np.testing.assert_array_equal(np.asarray(a_std), np.asarray(a_ind))
+    np.testing.assert_array_equal(np.asarray(l_std), np.asarray(l_pass))
+
+
 def test_autorec():
     model = AutoRec(num_input=I, hidden_units=16)
     params = model.init(jax.random.PRNGKey(0))

@@ -1,4 +1,5 @@
-"""Quality gate for DIN's indirect-hist training path (VERDICT r3 next #3).
+"""Quality gate for the indirect-hist training path (DIN: VERDICT r3 #3;
+DIEN: VERDICT r4 #2). Usage: python tools/din_indirect_quality.py [din|dien]
 
 ``indirect_hist`` computes mathematically identical forwards (the history
 embedding values are bit-equal; only the table-gradient summation GROUPING
@@ -8,8 +9,8 @@ the standard path and the indirect path (both bf16 + matmul-bwd, the bench
 configuration), then compare per-epoch loss trajectories, final auc_raw per
 split, and ranking@50 under the UNCHANGED serving path.
 
-Writes DIN_INDIRECT_QUALITY.json. Run solo (quality, not timing -- host
-contention is fine).
+Writes {DIN,DIEN}_INDIRECT_QUALITY.json. Run solo (quality, not timing --
+host contention is fine).
 """
 
 from __future__ import annotations
@@ -46,8 +47,10 @@ from deeplearningrecommendationsystem_tpu.train import TrainConfig, Trainer  # n
 
 
 def main():
+    which = (sys.argv[1] if len(sys.argv) > 1 else "din").lower()
+    assert which in ("din", "dien"), which
     data = MovieLens100K(DEFAULT_DATA, seed=0)
-    cfg = PRESETS["din"]
+    cfg = PRESETS[which]
     sampler = NegativeSampler(
         data.seen_mask(data.train, data.valid, data.test), seed=0
     )
@@ -125,7 +128,7 @@ def main():
         m = ranking_metrics(jnp.asarray(reals), rec, 50, n_seen=jnp.asarray(n_seen))
         out[f"test_ranking_{tag}"] = {k: float(v) for k, v in m.items()}
 
-    with open("DIN_INDIRECT_QUALITY.json", "w") as f:
+    with open(f"{which.upper()}_INDIRECT_QUALITY.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
 

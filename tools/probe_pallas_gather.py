@@ -53,7 +53,7 @@ def run_one(name, data, pallas: bool):
             pallas_gather=pallas,
         ),
     )
-    batch, y, w = bench._train_batch(data, name)
+    batch, y, w = bench._train_batch(data, name, indirect=False)
     weights = {"train": w} if w is not None else None
     rng = jax.random.PRNGKey(0)
     res = trainer.fit(rng, (batch, y), weights=weights)  # compile + warm
