@@ -34,12 +34,24 @@ def build_server(args):
         run_experiment,
     )
     from deeplearningrecommendationsystem_tpu.server import RecommenderServer
-    from deeplearningrecommendationsystem_tpu.serving import Recommender
+    from deeplearningrecommendationsystem_tpu.serving import (
+        Recommender,
+        ShardedRecommender,
+    )
 
     cfg = PRESETS[args.model]
     if args.epochs is not None:
         cfg = cfg.replace(epochs=args.epochs)
     cfg = cfg.replace(track_metrics=False, seed=args.seed)
+    mesh = None
+    if args.mesh:
+        from deeplearningrecommendationsystem_tpu.parallel import make_mesh
+
+        data_ax, model_ax = (int(v) for v in args.mesh.split(","))
+        mesh = make_mesh(data=data_ax, model=model_ax)
+        # EP end to end: train sharded, keep the tables sharded, serve
+        # sharded (parallel/serving.py) -- no unshard round-trip
+        cfg = cfg.replace(mesh_shape=(data_ax, model_ax), unshard_params=False)
 
     data = MovieLens100K(args.data, seed=args.seed)
     seen = (
@@ -58,6 +70,13 @@ def build_server(args):
         mgr = CheckpointManager(args.checkpoint)
         params = mgr.restore(template=template)
         mgr.close()
+        if mesh is not None:
+            # dense checkpoint -> row-sharded serving layout
+            from deeplearningrecommendationsystem_tpu.parallel import (
+                shard_model_tables,
+            )
+
+            params, _, _ = shard_model_tables(params, mesh)
         # rebuild the same ServingContext run_experiment would have used
         res = run_experiment(cfg.replace(epochs=1), data=data)
         ctx = res.ctx
@@ -66,7 +85,10 @@ def build_server(args):
         model = build_model(cfg, data)
         params, ctx = res.params, res.ctx
 
-    rec = Recommender(model, params, ctx, seen=seen)
+    if mesh is not None:
+        rec = ShardedRecommender(model, params, ctx, mesh, seen=seen)
+    else:
+        rec = Recommender(model, params, ctx, seen=seen)
     return RecommenderServer(rec, host=args.host, port=args.port)
 
 
@@ -77,6 +99,13 @@ def main(argv=None) -> int:
     ap.add_argument("--epochs", type=int, help="override preset epochs")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--checkpoint", help="load params from this orbax dir instead of training")
+    ap.add_argument(
+        "--mesh",
+        help="device mesh axes 'data,model', e.g. 4,2: train with row-sharded "
+        "embedding tables (EP) and serve them SHARDED via ShardedRecommender "
+        "-- item rows never leave their shards (factored + feature models; "
+        "sequence models must serve dense)",
+    )
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument(

@@ -47,6 +47,11 @@ class ExperimentConfig:
     # shards the batch (DP). E.g. (4, 2) on 8 devices.
     mesh_shape: Any = None
     ep_strategy: str = "psum"  # 'psum' | 'scatter'
+    # False (with model axis > 1): leave the trained tables row-sharded --
+    # the layout ShardedRecommender / parallel/serving.py serves from with
+    # no unshard round-trip. run_experiment then SKIPS the dense catalog
+    # ranking eval (it would need the replicated tables).
+    unshard_params: bool = True
     # None = pure f32 (reference-parity numerics); 'bfloat16' = MXU fast path
     # with f32 master weights (see train.TrainConfig.compute_dtype)
     compute_dtype: Any = None

@@ -164,6 +164,7 @@ def run_experiment(
             compute_dtype=cfg.compute_dtype,
             mesh=mesh,
             ep_strategy=cfg.ep_strategy,
+            unshard_params=cfg.unshard_params,
         ),
         aux_loss_fn=aux_loss_fn,
         aux_weight=cfg.aux_weight,
@@ -307,6 +308,7 @@ def run_experiment(
             optimizer=cfg.sparse_optimizer,
             mesh=mesh,
             ep_strategy=cfg.ep_strategy,
+            unshard=cfg.unshard_params,
         )
     else:
         raise ValueError(cfg.train_mode)
@@ -314,8 +316,23 @@ def run_experiment(
     train_time = time.perf_counter() - t0
 
     # ---- serving + ranking eval ----
-    scores = model.score_catalog(result.params, ctx)
     ranking: Dict[str, Dict[str, float]] = {}
+    if getattr(result, "ep_heights", None):
+        # tables left row-sharded (unshard_params=False): the dense catalog
+        # scorer cannot run -- serve via ShardedRecommender
+        # (parallel/serving.py); ranking eval is skipped by design.
+        return ExperimentResult(
+            model=cfg.model,
+            params=result.params,
+            history={k: np.asarray(v) for k, v in result.history.items()},
+            ranking=ranking,
+            train_examples=train_examples,
+            epochs=cfg.epochs,
+            train_time_s=train_time,
+            extras=result.extras,
+            ctx=ctx,
+        )
+    scores = model.score_catalog(result.params, ctx)
     if cfg.family == "matrix":
         # no seen-item filtering in the reference AutoRec eval
         # (scripts/autorec.py:64-78); actual = ALL interactions, rows split.

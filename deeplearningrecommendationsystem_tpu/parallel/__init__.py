@@ -22,6 +22,7 @@ from deeplearningrecommendationsystem_tpu.parallel.embedding import (
 )
 from deeplearningrecommendationsystem_tpu.parallel.serving import (
     sharded_catalog_topk,
+    sharded_feature_topk,
     sharded_topk,
 )
 
@@ -43,5 +44,6 @@ __all__ = [
     "sharded_gather",
     "sharded_gather_scatter",
     "sharded_catalog_topk",
+    "sharded_feature_topk",
     "sharded_topk",
 ]

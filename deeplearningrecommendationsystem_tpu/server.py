@@ -122,7 +122,7 @@ class RecommenderServer:
         parsed = urlparse(path)
         route = (method, parsed.path)
         if route == ("GET", "/healthz"):
-            num_users, num_items = self.recommender.scores.shape
+            num_users, num_items = self.recommender.shape
             return 200, {"status": "ok", "num_users": num_users, "num_items": num_items}
         if route == ("GET", "/v1/recommend"):
             q = parse_qs(parsed.query)
@@ -158,16 +158,14 @@ class RecommenderServer:
         return 404, {"error": f"no route {method} {parsed.path}"}
 
     def _topk(self, users, k):
-        num_users, num_items = self.recommender.scores.shape
+        num_users, num_items = self.recommender.shape
         for u in users:
             if not 0 <= u < num_users:
                 raise ValueError(f"user {u} out of range [0, {num_users})")
         k = max(1, min(k, num_items))
         with self.device_lock:
-            idx = self.recommender.top_k(k, users)
-            rows = np.asarray(self.recommender.scores)[np.asarray(users)]
-        scores = np.take_along_axis(rows, idx, axis=1)
-        return idx.tolist(), scores.tolist()
+            idx, scores = self.recommender.top_k_with_scores(k, users)
+        return idx.tolist(), np.asarray(scores).tolist()
 
     # ---- lifecycle
 

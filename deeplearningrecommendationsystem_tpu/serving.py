@@ -63,6 +63,21 @@ class Recommender:
             self.refresh()
         return self._scores
 
+    @property
+    def shape(self):
+        """(num_users, num_items) -- the server's bounds, no materialization."""
+        return (self.ctx.num_users, self.ctx.num_items)
+
+    def top_k_with_scores(self, k: int, users: Optional[Sequence[int]] = None):
+        """(ids [n, k], scores [n, k]) -- the HTTP server's query surface,
+        shared with ShardedRecommender (which has no replicated score
+        matrix to index)."""
+        idx = self.top_k(k, users)
+        rows = np.asarray(self.scores)
+        if users is not None:
+            rows = rows[np.asarray(users)]
+        return idx, np.take_along_axis(rows, idx, axis=1)
+
     def top_k(self, k: int, users: Optional[Sequence[int]] = None) -> np.ndarray:
         """[len(users), k] recommended item ids (all users by default).
 
@@ -132,21 +147,88 @@ class ShardedRecommender:
     the model to expose ``serving_factors`` (scores == P @ Q^T).
     """
 
-    def __init__(self, model, params, ctx: ServingContext, mesh, seen=None):
+    def __init__(self, model, params, ctx: ServingContext, mesh, seen=None,
+                 strategy: str = "psum"):
+        from deeplearningrecommendationsystem_tpu.parallel.ep import (
+            EmbeddingPartitioning,
+            _is_table_path,
+        )
+        from deeplearningrecommendationsystem_tpu.parallel.mesh import MODEL_AXIS
+
         self.model = model
         self.params = params
         self.ctx = ctx
         self.mesh = mesh
         self.seen = jnp.asarray(seen) if seen is not None else None
+        # EP routing config for per-pair scoring (/v1/score): collect the
+        # padded heights of the row-sharded vocab tables so gather_rows
+        # recognises them (same identification as training, parallel/ep.py)
+        m = mesh.shape[MODEL_AXIS]
+        heights = set()
+
+        def visit(path, leaf):
+            if (
+                hasattr(leaf, "ndim")
+                and leaf.ndim == 2
+                and _is_table_path(path)
+                and leaf.shape[0] % m == 0
+            ):
+                heights.add(leaf.shape[0])
+            return leaf
+
+        jax.tree_util.tree_map_with_path(visit, params)
+        self._ep = EmbeddingPartitioning(
+            mesh=mesh, strategy=strategy, sharded_heights=frozenset(heights)
+        )
+
+    @property
+    def shape(self):
+        return (self.ctx.num_users, self.ctx.num_items)
+
+    def refresh(self) -> None:
+        """No-op: queries run directly against the sharded tables (there is
+        no replicated score matrix to materialize -- that's the point)."""
 
     def top_k(self, k: int, users: Optional[Sequence[int]] = None) -> np.ndarray:
+        return self.top_k_with_scores(k, users)[0]
+
+    def top_k_with_scores(self, k: int, users: Optional[Sequence[int]] = None):
         from deeplearningrecommendationsystem_tpu.parallel.serving import (
             sharded_catalog_topk,
         )
 
         u = jnp.asarray(users) if users is not None else None
-        _, idx = sharded_catalog_topk(
+        vals, idx = sharded_catalog_topk(
             self.model, self.params, self.ctx, self.mesh, k,
             seen=self.seen, users=u,
         )
-        return np.asarray(idx)
+        return np.asarray(idx), np.asarray(vals)
+
+    def score(self, user: int, items: Sequence[int]) -> np.ndarray:
+        """Raw scores of specific items for one user, from sharded tables:
+        the model's own forward with every vocab-table gather EP-routed
+        through the training collectives (parallel/ep.py::gather_rows)."""
+        from deeplearningrecommendationsystem_tpu.parallel.ep import (
+            embedding_partitioning,
+        )
+
+        items = jnp.asarray(items, dtype=jnp.int32)
+        u = jnp.full(items.shape, user, dtype=jnp.int32)
+        with embedding_partitioning(self._ep):
+            if hasattr(self.model, "spec"):  # feature family: 45-col rows
+                n = items.shape[0]
+                x = jnp.concatenate(
+                    [
+                        u.astype(jnp.float32)[:, None],
+                        items.astype(jnp.float32)[:, None],
+                        jnp.broadcast_to(
+                            self.ctx.user_features[user][None, :], (n, 24)
+                        ),
+                        self.ctx.item_features[items],
+                    ],
+                    axis=1,
+                )
+                logits = self.model.apply(self.params, x)
+            else:  # pair family (MF/NeuralCF shapes)
+                logits = self.model.apply(self.params, (u, items))
+        return np.asarray(logits)

@@ -150,6 +150,53 @@ def test_sharded_recommender_matches_dense_recommender():
     )
 
 
+@pytest.mark.parametrize("with_seen", [False, True])
+def test_sharded_feature_topk_deepfm_matches_dense(with_seen):
+    """General (non-factored) sharded serving, VERDICT r4 next #4: DeepFM's
+    joint-MLP scorer over row-sharded tables must produce the dense
+    Recommender's lists exactly -- each shard runs the full forward on its
+    item block via table substitution, no unshard round-trip."""
+    from deeplearningrecommendationsystem_tpu.features import ML100K_SPEC
+    from deeplearningrecommendationsystem_tpu.models import DeepFM
+    from deeplearningrecommendationsystem_tpu.serving import (
+        Recommender,
+        ShardedRecommender,
+    )
+
+    mesh = make_mesh(data=2, model=4)
+    spec = ML100K_SPEC
+    U, I, k = spec.num_users, spec.num_items, 10
+    model = DeepFM(spec, hidden_units=(16, 8, 1), embedding_dim=8)
+    params_dense = model.init(jax.random.PRNGKey(2))
+    params_sharded, _, _ = shard_model_tables(params_dense, mesh)
+
+    rng = np.random.default_rng(4)
+    ctx = ServingContext(
+        user_features=jnp.asarray(rng.random((U, 24), dtype=np.float32)),
+        item_features=jnp.asarray((rng.random((I, 19)) < 0.3).astype(np.float32)),
+    )
+    seen = (rng.random((U, I)) < 0.1) if with_seen else None
+
+    dense = Recommender(model, params_dense, ctx, seen=seen, use_pallas=False)
+    sharded = ShardedRecommender(model, params_sharded, ctx, mesh, seen=seen)
+    np.testing.assert_array_equal(sharded.top_k(k), dense.top_k(k))
+    users = [0, 17, 599, U - 1]
+    np.testing.assert_array_equal(
+        sharded.top_k(k, users=users), dense.top_k(k, users=users)
+    )
+
+
+def test_sharded_catalog_topk_rejects_sequence_models():
+    from deeplearningrecommendationsystem_tpu.models import DIN
+
+    mesh = make_mesh(data=2, model=4)
+    model = DIN(100, embed_size=8, attention_units=(8, 1), fc_units=(8, 1))
+    params = model.init(jax.random.PRNGKey(0))
+    ctx = _ctx(10, 100)
+    with pytest.raises(NotImplementedError, match="unshard"):
+        sharded_catalog_topk(model, params, ctx, mesh, 5)
+
+
 def test_fullbatch_trainer_keep_sharded():
     """Trainer.fit(unshard_params=False) leaves padded sharded tables and
     records heights; the sharded serving path on them matches the default
