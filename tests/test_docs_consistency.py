@@ -69,6 +69,27 @@ def test_readme_quotes_no_unmarked_speedups():
     )
 
 
+def test_performance_doc_roofline_matches_artifact():
+    import json
+
+    import pytest
+
+    path = os.path.join(ROOT, "ROOFLINE.json")
+    if not os.path.exists(path):
+        pytest.skip("ROOFLINE.json not generated yet (tools/roofline.py)")
+    gen = _gen_readme()
+    with open(path) as f:
+        roofline = json.load(f)
+    with open(os.path.join(ROOT, "docs", "performance.md")) as f:
+        doc = f.read()
+    m = re.search(r"<!-- gen:roofline -->\n(.*?)<!-- /gen:roofline -->", doc, re.S)
+    assert m, "docs/performance.md lost the gen:roofline markers"
+    assert m.group(1).rstrip("\n") == gen.render_roofline(roofline), (
+        "docs/performance.md roofline table is STALE vs ROOFLINE.json -- "
+        "re-run `python tools/roofline.py`"
+    )
+
+
 def test_generator_is_idempotent():
     gen = _gen_readme()
     with open(os.path.join(ROOT, "README.md")) as f:

@@ -171,6 +171,41 @@ def render_blocks() -> dict:
     }
 
 
+KERNEL_PATH_MODELS = ("lr", "afm")  # shipped path = fused Pallas kernel
+
+
+def render_roofline(roofline: dict) -> str:
+    """The docs/performance.md ``gen:roofline`` table, from ROOFLINE.json
+    (written by tools/roofline.py; drift-gated like the README blocks)."""
+    rows = [
+        "| Model | epoch ms | HBM bytes | FLOPs | HBM-SOL ms | % of HBM SOL | MFU |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, _ in sorted(
+        roofline.items(), key=lambda kv: kv[1]["headroom_ms"], reverse=True
+    ):
+        r = roofline[name]
+        note = " †" if name in KERNEL_PATH_MODELS else ""
+        rows.append(
+            f"| {name}{note} | {r['epoch_ms']:.2f} | "
+            f"{r['hbm_bytes'] / 1e6:.1f} MB | {r['flops'] / 1e9:.2f} GF | "
+            f"{r['hbm_sol_ms']:.3f} | {100 * r['pct_hbm_sol']:.1f}% | "
+            f"{100 * r['mfu']:.2f}% |"
+        )
+    top3 = sorted(roofline, key=lambda n: roofline[n]["headroom_ms"], reverse=True)[:3]
+    rows.append(
+        "\nRows sorted by absolute headroom (measured epoch ms − HBM-SOL ms); "
+        f"top-3 headroom: **{', '.join(top3)}**. † = the shipped path is a "
+        "fused Pallas kernel computing the same math; the cost model is the "
+        "equivalent XLA step. Cost model = the standalone one-epoch step "
+        "(XLA's own compiled cost analysis); the shipped program scans it, "
+        "and in-scan layouts can differ (the r4 MF trace measured a 12× "
+        "emitter gap for exactly this reason), so % of SOL is a CEILING on "
+        "how far off speed-of-light each model runs, not an exact gap."
+    )
+    return "\n".join(rows)
+
+
 def apply(text: str, blocks: dict) -> str:
     for name, body in blocks.items():
         pat = re.compile(
