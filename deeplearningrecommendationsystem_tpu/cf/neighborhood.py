@@ -20,6 +20,7 @@ per-item Python loops collapse to batched gathers and einsums.
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -53,6 +54,7 @@ def _cosine(m: jnp.ndarray) -> jnp.ndarray:
     return normed @ normed.T
 
 
+@partial(jax.jit, static_argnames=("k_neighbors", "top_n"))
 def user_cf_recommend(
     matrix: jnp.ndarray, k_neighbors: int = 10, top_n: int = 20
 ) -> jnp.ndarray:
@@ -69,6 +71,7 @@ def user_cf_recommend(
     return rec
 
 
+@partial(jax.jit, static_argnames=("k_neighbors", "top_n"))
 def item_cf_recommend(
     matrix: jnp.ndarray, k_neighbors: int = 10, top_n: int = 20
 ) -> jnp.ndarray:

@@ -163,12 +163,41 @@ def render_blocks() -> dict:
         f"MF recall@50 {ours_rec:.3f} vs {ref_rec:.3f}"
     )
 
-    return {
+    blocks = {
         "training": training,
         "serving": serving_md,
         "kernels": kernels,
         "quality": quality,
     }
+
+    # ---- classic CF (rendered once tools/bench_cf.py has run) --------------
+    try:
+        cf = _load("CF_BENCH.json")
+    except FileNotFoundError:
+        cf = None
+    if cf:
+        crows = [
+            "| Algorithm | Reference script (full run) | This framework | "
+            "Speedup | Recall (ref / ours) |",
+            "|---|---|---|---|---|",
+        ]
+        for algo, label in (
+            ("usercf", "UserCF"),
+            ("itemcf", "ItemCF (its header documents its own slowness)"),
+            ("gdcf", "GDCF (10 Adam iters + per-iter ranking eval)"),
+        ):
+            if algo not in cf:
+                continue
+            r = cf[algo]
+            crows.append(
+                f"| {label} | {fmt_s(r['reference']['wall_s'])} "
+                f"| {fmt_s(r['ours']['warm_s_median'])} "
+                f"| {fmt_x(r['speedup_warm'])} "
+                f"| {r['reference']['metrics']['recall']:.4f} / "
+                f"{r['ours']['metrics']['recall']:.4f} |"
+            )
+        blocks["cf"] = "\n".join(crows)
+    return blocks
 
 
 KERNEL_PATH_MODELS = ("lr", "afm")  # shipped path = fused Pallas kernel
