@@ -128,6 +128,10 @@ def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
     if name in ("din", "dien"):
         # per-user history dedup (see _train_batch's seq branch)
         cfg = cfg.replace(model_kwargs=dict(cfg.model_kwargs, indirect_hist=True))
+    if name == "mf":
+        # r5 layout-probe winner: [D, B]-orientation one-hot-matmul epoch,
+        # 1.47x / 172.7M ex/s, loss bit-identical (MF_LAYOUT_PROBE.json)
+        cfg = cfg.replace(model_kwargs=dict(cfg.model_kwargs, onehot_epoch=True))
     model = build_model(cfg, data)
     if name == "lr":
         # whole-epoch fused kernel: fwd + BCE grad + weight grad + Adam in

@@ -21,6 +21,18 @@ class MatrixFactorization:
     num_users: int
     num_items: int
     embedding_dim: int = 64
+    # r5 layout-probe winner (MF_LAYOUT_PROBE.json): compute the epoch in
+    # the [D, B] orientation with one-hot matmul gathers -- ``table.T @
+    # onehot.T`` rides XLA's fused compare->dot stream instead of the slow
+    # native in-scan gather emitter (the r4 trace's 12x-off-bandwidth
+    # victim), and the factor-product reduce runs along SUBLANES with B
+    # lanes. 1.47x end-to-end (172.7M ex/s), final loss bit-identical over
+    # 100 epochs at the bench configuration. OPT-IN (bench.py enables it for
+    # the mf preset): the default keeps the gather path so EP bit-equality
+    # tests and the recorded PARITY artifacts stay exactly reproducible.
+    # Auto-disabled under EP routing (sharded tables need the collective
+    # gather) and at vocabs > 8192 (O(B*V) one-hot FLOPs lose).
+    onehot_epoch: bool = False
 
     def init(self, key: jax.Array) -> dict:
         ku, ki = jax.random.split(key)
@@ -29,8 +41,35 @@ class MatrixFactorization:
             "item": embedding_init(ki, self.num_items, self.embedding_dim),
         }
 
+    def _use_onehot(self, params: dict) -> bool:
+        if not self.onehot_epoch or max(self.num_users, self.num_items) > 8192:
+            return False
+        from deeplearningrecommendationsystem_tpu.parallel.ep import (
+            active_partitioning,
+        )
+
+        cfg = active_partitioning()
+        return not (
+            cfg is not None
+            and (cfg.routes(params["user"]) or cfg.routes(params["item"]))
+        )
+
     def apply(self, params: dict, batch) -> jnp.ndarray:
         users, items = batch
+        if self._use_onehot(params):
+            pu, qi = params["user"], params["item"]
+            dt = pu.dtype
+            oh_u = (
+                users[:, None]
+                == jax.lax.broadcasted_iota(users.dtype, (1, self.num_users), 1)
+            ).astype(dt)
+            oh_i = (
+                items[:, None]
+                == jax.lax.broadcasted_iota(items.dtype, (1, self.num_items), 1)
+            ).astype(dt)
+            pe = pu.T @ oh_u.T  # [D, B]
+            qe = qi.T @ oh_i.T
+            return jnp.sum(pe * qe, axis=0)
         return jnp.sum(
             gather_rows(params["user"], users) * gather_rows(params["item"], items),
             axis=-1,

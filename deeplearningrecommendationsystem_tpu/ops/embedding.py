@@ -125,6 +125,25 @@ def gather_matmul_bwd(table: jax.Array, ids: jax.Array) -> jax.Array:
     return _gather_mm(table.shape[0], str(table.dtype), table, ids)
 
 
+def gather_onehot(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """``table[ids]`` as a one-hot MXU matmul in BOTH directions.
+
+    r5 MF layout probe (MF_LAYOUT_PROBE.json): v5e's native in-scan row
+    gather runs ~12x off HBM bandwidth (no gather hardware, r4 trace), while
+    XLA fuses the compare-generated one-hot straight into the dot stream --
+    ``onehot(ids) @ table`` forward gave MF 1.36x end-to-end and the [D, B]
+    orientation 1.47x. The backward of this matmul is automatically the
+    one-hot cotangent matmul (the r3 ``gather_matmul_bwd`` trick), so no
+    custom VJP is needed. Values are exact (a one-hot row extracts exact
+    floats; no accumulation). Small vocabs only: O(N * V * D) FLOPs.
+    """
+    flat = ids.reshape(-1)
+    onehot = (
+        flat[:, None] == jax.lax.broadcasted_iota(flat.dtype, (1, table.shape[0]), 1)
+    ).astype(table.dtype)
+    return (onehot @ table).reshape(ids.shape + (table.shape[1],))
+
+
 def bias_embedding_init(key: jax.Array, num: int, dtype=jnp.float32) -> jax.Array:
     """[num, 1] xavier-normal bias table (the reference's 1-dim id embeddings
     used in every wide/linear part, e.g. model/lr.py:15-16)."""

@@ -92,6 +92,26 @@ def active_partitioning() -> Optional[EmbeddingPartitioning]:
 
 _MATMUL_BWD = False
 _PALLAS_GATHER_MM = False
+_ONEHOT_FWD = False
+
+
+@contextlib.contextmanager
+def onehot_gather_fwd(enable: bool = True):
+    """Scope under which DENSE gather_rows runs as a one-hot MXU matmul in
+    BOTH directions (ops/embedding.py::gather_onehot). r5 MF layout probe:
+    the native in-scan row gather is the layout victim the r4 trace found
+    (~12x off HBM bandwidth), while XLA fuses compare-generated one-hots
+    into dot streams -- MF gained 1.36-1.47x end-to-end. Small vocabs only
+    (<= 8192 rows; larger tables fall back to the native/matmul-bwd path).
+    Takes precedence over matmul_gather_backward; EP-routed tables are
+    unaffected."""
+    global _ONEHOT_FWD
+    prev = _ONEHOT_FWD
+    _ONEHOT_FWD = enable
+    try:
+        yield
+    finally:
+        _ONEHOT_FWD = prev
 
 
 @contextlib.contextmanager
@@ -148,6 +168,12 @@ def gather_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
             )
 
             return gather_rows_mm_pallas(table, ids)
+        if _ONEHOT_FWD and table.shape[0] <= 8192:
+            from deeplearningrecommendationsystem_tpu.ops.embedding import (
+                gather_onehot,
+            )
+
+            return gather_onehot(table, ids)
         if _MATMUL_BWD:
             from deeplearningrecommendationsystem_tpu.ops.embedding import (
                 gather_matmul_bwd,

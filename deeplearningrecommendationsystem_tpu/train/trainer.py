@@ -36,6 +36,7 @@ from deeplearningrecommendationsystem_tpu.eval.pointwise import pointwise_metric
 from deeplearningrecommendationsystem_tpu.parallel.ep import (
     embedding_partitioning,
     matmul_gather_backward,
+    onehot_gather_fwd,
     pallas_gather_mm,
     shard_model_tables,
     unshard_model_tables,
@@ -76,6 +77,13 @@ class TrainConfig:
     # bit-identical forward, f32-accumulated backward. Small vocabs only.
     # Takes precedence over matmul_gather_bwd.
     pallas_gather: bool = False
+    # dense-path gathers as one-hot XLA matmuls in BOTH directions
+    # (parallel/ep.py::onehot_gather_fwd): the r5 layout-probe winner -- XLA
+    # fuses the compare-generated one-hot into the dot stream, dodging the
+    # slow native in-scan gather emitter (MF 1.36x end-to-end,
+    # MF_LAYOUT_PROBE.json). Small vocabs (<= 8192 rows) only; takes
+    # precedence over matmul_gather_bwd on qualifying tables.
+    onehot_gather: bool = False
 
 
 def _cast_floats(tree, dtype):
@@ -225,6 +233,7 @@ class Trainer:
             cfg.compute_dtype,
             cfg.matmul_gather_bwd,
             cfg.pallas_gather,
+            cfg.onehot_gather,
             cfg.ep_strategy,
             id(cfg.mesh),
         )
@@ -292,6 +301,8 @@ class Trainer:
         stack.enter_context(embedding_partitioning(ep_cfg))
         if cfg.pallas_gather:
             stack.enter_context(pallas_gather_mm())
+        if cfg.onehot_gather:
+            stack.enter_context(onehot_gather_fwd())
         if cfg.matmul_gather_bwd:
             stack.enter_context(matmul_gather_backward())
         with stack:

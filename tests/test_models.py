@@ -185,6 +185,62 @@ def test_dien_indirect_hist_equivalent():
     np.testing.assert_array_equal(np.asarray(l_std), np.asarray(l_pass))
 
 
+def test_mf_onehot_epoch_equivalent():
+    """r5 layout-probe winner: the [D, B]-orientation one-hot epoch must
+    produce the gather path's forward values (one-hot rows extract exact
+    floats) and matching gradients."""
+    rng = np.random.default_rng(5)
+    B = 128
+    users = jnp.asarray(rng.integers(0, U, B))
+    items = jnp.asarray(rng.integers(0, I, B))
+    std = MatrixFactorization(U, I, 16)
+    oh = MatrixFactorization(U, I, 16, onehot_epoch=True)
+    params = std.init(jax.random.PRNGKey(0))
+    out_std = std.apply(params, (users, items))
+    out_oh = oh.apply(params, (users, items))
+    np.testing.assert_allclose(
+        np.asarray(out_std), np.asarray(out_oh), rtol=1e-6, atol=1e-7
+    )
+    cot = jnp.asarray(rng.normal(size=B).astype(np.float32))
+    g_std = jax.grad(lambda p: jnp.sum(std.apply(p, (users, items)) * cot))(params)
+    g_oh = jax.grad(lambda p: jnp.sum(oh.apply(p, (users, items)) * cot))(params)
+    for a, b in zip(jax.tree.leaves(g_std), jax.tree.leaves(g_oh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    # EP routing wins over the one-hot path (sharded tables need collectives)
+    from deeplearningrecommendationsystem_tpu.parallel import (
+        make_mesh,
+        shard_model_tables,
+    )
+    from deeplearningrecommendationsystem_tpu.parallel.ep import (
+        embedding_partitioning,
+    )
+
+    mesh = make_mesh(data=2, model=4)
+    sharded, cfg_ep, _ = shard_model_tables(params, mesh)
+    with embedding_partitioning(cfg_ep):
+        out_ep = oh.apply(sharded, (users, items))
+    np.testing.assert_allclose(
+        np.asarray(out_std), np.asarray(out_ep), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_gather_onehot_matches_native():
+    """ops/embedding.gather_onehot == table[ids] exactly, fwd and bwd."""
+    from deeplearningrecommendationsystem_tpu.ops.embedding import gather_onehot
+
+    rng = np.random.default_rng(6)
+    table = jnp.asarray(rng.normal(size=(57, 9)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 57, (4, 11)))
+    np.testing.assert_array_equal(
+        np.asarray(gather_onehot(table, ids)), np.asarray(table[ids])
+    )
+    cot = jnp.asarray(rng.normal(size=(4, 11, 9)).astype(np.float32))
+    g_oh = jax.grad(lambda t: jnp.sum(gather_onehot(t, ids) * cot))(table)
+    g_nat = jax.grad(lambda t: jnp.sum(t[ids] * cot))(table)
+    np.testing.assert_allclose(np.asarray(g_oh), np.asarray(g_nat), rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_autorec():
     model = AutoRec(num_input=I, hidden_units=16)
     params = model.init(jax.random.PRNGKey(0))

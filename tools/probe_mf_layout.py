@@ -111,6 +111,34 @@ class MFTransposed:
         return jnp.sum(pe * qe, axis=0)
 
 
+@dataclasses.dataclass
+class MFOneHotFwdT:
+    """Standard [V, D] params, but the epoch computes in the [D, B]
+    orientation: ``table.T @ onehot.T`` (the tiny per-epoch table transpose
+    stays in-scan) and reduces the factor product along SUBLANES with B
+    lanes -- probing whether transposed_oh's edge is the compute
+    orientation, not the storage layout (storage change would break EP
+    row-sharding / checkpoints / serving_factors)."""
+
+    num_users: int
+    num_items: int
+    embedding_dim: int = 64
+
+    def init(self, key):
+        ku, ki = jax.random.split(key)
+        return {
+            "user": embedding_init(ku, self.num_users, self.embedding_dim),
+            "item": embedding_init(ki, self.num_items, self.embedding_dim),
+        }
+
+    def apply(self, params, batch):
+        users, items = batch
+        dt = params["user"].dtype
+        pe = params["user"].T @ _onehot(users, self.num_users, dt).T  # [D, B]
+        qe = params["item"].T @ _onehot(items, self.num_items, dt).T
+        return jnp.sum(pe * qe, axis=0)
+
+
 def run(model, matmul_bwd: bool, data, batch, y):
     cfg = PRESETS["mf"]
     trainer = Trainer(
@@ -151,6 +179,7 @@ def main():
         "onehot_fwd": (MFOneHotFwd(U, I, 64), False),
         "transposed": (MFTransposed(U, I, 64), False),
         "transposed_oh": (MFTransposed(U, I, 64, onehot=True), False),
+        "onehot_fwd_T": (MFOneHotFwdT(U, I, 64), False),
     }
     try:
         out = json.load(open(OUT))
