@@ -49,6 +49,14 @@ EPOCHS = 100
 # in bf16 -- few huge GD steps round away the mean gradient -- and stay f32.
 COMPUTE_DTYPE = {"din": "bfloat16", "mf": "bfloat16", "dien": "bfloat16"}
 
+# r5: one-hot-matmul FORWARD gathers (TrainConfig.onehot_gather) for the
+# models where the zoo probe measured a win (ONEHOT_FWD_PROBE.json: ffm
+# 1.78x, deepcrossing 1.26x, deepfm 1.12x, dien 1.12x, nfm 1.11x, widedeep
+# 1.08x; neutral-or-loss rows keep the default route). Same math -- XLA
+# fuses the compare-generated one-hot into the dot stream instead of the
+# slow native in-scan gather emitter (MF_LAYOUT_PROBE.json root cause).
+ONEHOT_GATHER = {"ffm", "deepfm", "widedeep", "nfm", "deepcrossing", "dien"}
+
 ZOO = (
     "lr", "mf", "neuralcf", "ffm", "widedeep", "deepfm", "nfm", "afm",
     "pnn", "deepcross", "deepcrossing", "autorec", "i-autorec", "din", "dien",
@@ -187,6 +195,9 @@ def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
             # bit-identical gradients, no serialized TPU scatters
             # (parallel/ep.py::matmul_gather_backward)
             matmul_gather_bwd=True,
+            # measured winners also run the FORWARD as a one-hot matmul
+            # (see ONEHOT_GATHER above)
+            onehot_gather=name in ONEHOT_GATHER,
         ),
     )
     batch, y, w = _train_batch(data, name)
