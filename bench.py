@@ -201,8 +201,6 @@ def measure(name: str, data: MovieLens100K, reference: dict) -> dict:
         ),
     )
     batch, y, w = _train_batch(data, name)
-    if name == "lr":
-        batch = model.widen(batch)
     weights = {"train": w} if w is not None else None
     rng = jax.random.PRNGKey(0)
 

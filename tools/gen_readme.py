@@ -23,9 +23,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # bench.py's zoo order; labels carry the per-model configuration notes
 ZOO = (
     ("lr", "LR (whole-run fused Pallas kernel)"),
-    ("mf", "MF (bf16)"),
+    ("mf", "MF (bf16, one-hot-matmul epoch)"),
     ("neuralcf", "NeuralCF"),
-    ("ffm", "FFM"),
+    ("ffm", "FFM (one-hot gathers)"),
     ("widedeep", "Wide&Deep"),
     ("deepfm", "DeepFM (f32, headline)"),
     ("nfm", "NFM"),
@@ -229,8 +229,11 @@ def render_roofline(roofline: dict) -> str:
         "equivalent XLA step. Cost model = the standalone one-epoch step "
         "(XLA's own compiled cost analysis); the shipped program scans it, "
         "and in-scan layouts can differ (the r4 MF trace measured a 12× "
-        "emitter gap for exactly this reason), so % of SOL is a CEILING on "
-        "how far off speed-of-light each model runs, not an exact gap."
+        "emitter gap for exactly this reason), so % of SOL is an ESTIMATE of "
+        "how close to speed-of-light each model runs, not an exact gap — "
+        "rows above 100% are models whose shipped program moves fewer bytes "
+        "than the standalone step (scan-level fusion, or a † kernel that "
+        "never materializes the analyzed intermediates)."
     )
     return "\n".join(rows)
 
