@@ -18,6 +18,30 @@ import numpy as np
 from deeplearningrecommendationsystem_tpu.eval.recommend import mask_seen
 from deeplearningrecommendationsystem_tpu.models.base import ServingContext
 
+# Catalog scorers whose measured winner is one-hot-matmul gathers
+# (ONEHOT_SERVING_PROBE.json: DeepFM 1.46x, DIN hist-window 2.64x -- the
+# scorers run under lax.map, where the native gather emitter is the same
+# layout victim the training probes found). NeuralCF (0.88x) and DIN's
+# full-history scorer (0.83x: bucket lengths up to 1024 multiply the
+# O(N*V) one-hot FLOPs) keep the native path.
+_ONEHOT_SERVING_WINNERS = {"DeepFM", "DIN"}
+
+
+def onehot_serving_scope(model, ctx: ServingContext):
+    """Context manager applying the measured one-hot-gather serving policy
+    while a catalog scorer TRACES (shared by Recommender.refresh and
+    tools/bench_serving.py so the bench measures the shipped path)."""
+    import contextlib
+
+    from deeplearningrecommendationsystem_tpu.parallel.ep import onehot_gather_fwd
+
+    if (
+        type(model).__name__ in _ONEHOT_SERVING_WINNERS
+        and ctx.full_histories is None
+    ):
+        return onehot_gather_fwd()
+    return contextlib.nullcontext()
+
 
 class Recommender:
     """Holds a trained model + params and serves top-K recommendations."""
@@ -52,7 +76,8 @@ class Recommender:
 
     def refresh(self) -> None:
         """(Re)score the full catalog -- call after a params update."""
-        scores = self.model.score_catalog(self.params, self.ctx)
+        with onehot_serving_scope(self.model, self.ctx):
+            scores = self.model.score_catalog(self.params, self.ctx)
         if self.seen is not None:
             scores = mask_seen(scores, self.seen)
         self._scores = scores

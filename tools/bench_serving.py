@@ -57,6 +57,13 @@ def _reference_seconds():
 REFERENCE_S = _reference_seconds()
 
 
+def _scoped_call(model, ctx, fn):
+    from deeplearningrecommendationsystem_tpu.serving import onehot_serving_scope
+
+    with onehot_serving_scope(model, ctx):
+        return fn()
+
+
 def timeit(fn, iters=10, repeats=5):
     """Per-row repeat/spread record (VERDICT r4 weak #7: ms-scale serving
     rows move ~±25% between relay windows -- record the spread instead of
@@ -119,9 +126,17 @@ def main():
         ("din_full", DIN(1682, 64), ctx_full, False),
     ):
         params = model.init(jax.random.PRNGKey(0))
+        from deeplearningrecommendationsystem_tpu.serving import onehot_serving_scope
+
         fn = lambda p=params, m=model, c=c: top_k_unseen(m.score_catalog(p, c), seen, 50)  # noqa: E731
-        if jit_ok:
-            fn = jax.jit(fn)
+        with onehot_serving_scope(model, c):  # measured-winner policy, traces here
+            if jit_ok:
+                fn = jax.jit(fn).lower().compile()
+            else:
+                # host-bucketed scorer: programs trace per call; keep the
+                # scope live by re-entering inside the timed callable
+                inner = fn
+                fn = lambda m=model, c=c, f=inner: _scoped_call(m, c, f)  # noqa: E731
         rec = (
             timeit(fn, iters=1, repeats=3)
             if name == "din_full"  # host-bucketed, ~2 s/call
