@@ -43,11 +43,18 @@ EPOCHS = 100
 
 # Mixed precision per model: bf16 (MXU matmuls, f32 master weights) is used
 # only where a full reference-hyperparameter run proved quality parity
-# (BF16_QUALITY.json): MF exact (+0.0000 auc_raw), DIN/DIEN within seed
-# variance (-0.0006 for DIEN at 1.45x).
-# The full-batch feature models (deepfm/widedeep/nfm/pnn) LOSE ~0.09 auc_raw
-# in bf16 -- few huge GD steps round away the mean gradient -- and stay f32.
-COMPUTE_DTYPE = {"din": "bfloat16", "mf": "bfloat16", "dien": "bfloat16"}
+# (BF16_QUALITY.json): MF exact (+0.0000 auc_raw), NeuralCF +0.0001 with
+# matching R@50/NDCG (r5), DIN/DIEN within seed variance.
+# The full-batch feature models LOSE ~0.09-0.15 auc_raw in bf16 -- few huge
+# GD steps round away the mean gradient -- and stay f32 (r5 re-confirmed on
+# the previously untested rows: deepcross -0.103, deepcrossing -0.096,
+# afm -0.149).
+COMPUTE_DTYPE = {
+    "din": "bfloat16",
+    "mf": "bfloat16",
+    "dien": "bfloat16",
+    "neuralcf": "bfloat16",
+}
 
 # r5: one-hot-matmul FORWARD gathers (TrainConfig.onehot_gather) for the
 # models where the zoo probe measured a win (ONEHOT_FWD_PROBE.json: ffm
