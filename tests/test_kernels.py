@@ -498,3 +498,46 @@ def test_topk_two_stage_exact_and_ties():
     np.testing.assert_allclose(np.asarray(gv), np.asarray(wv), atol=0)
     got_scores = np.asarray(sc)[np.arange(U)[:, None], np.asarray(gi)]
     np.testing.assert_allclose(got_scores, np.asarray(gv), atol=0)
+
+
+def test_trainer_onehot_gather_route_matches_default():
+    """TrainConfig.onehot_gather (r5, ONEHOT_FWD_PROBE winners' route): the
+    one-hot-matmul forward gathers must train identically to the default
+    route -- same loss trajectory to regrouping tolerance, same params."""
+    from deeplearningrecommendationsystem_tpu.models import FFM
+    from deeplearningrecommendationsystem_tpu.features import ML100K_SPEC
+
+    rng = np.random.default_rng(11)
+    B = 256
+    x = np.zeros((B, ML100K_SPEC.width), np.float32)
+    x[:, 0] = rng.integers(0, ML100K_SPEC.num_users, B)
+    x[:, 1] = rng.integers(0, ML100K_SPEC.num_items, B)
+    x[:, 2] = rng.random(B)
+    x[np.arange(B), 3 + rng.integers(0, 2, B)] = 1.0
+    x[np.arange(B), 5 + rng.integers(0, 21, B)] = 1.0
+    x[:, 26:] = rng.random((B, 19)) < 0.2
+    x = jnp.asarray(x)
+    y = jnp.asarray((rng.random(B) < 0.5).astype(np.float32))
+    model = FFM(ML100K_SPEC, num_vector=8)
+
+    from deeplearningrecommendationsystem_tpu.train import TrainConfig, Trainer
+
+    def fit(onehot):
+        tr = Trainer(
+            model,
+            TrainConfig(
+                learning_rate=0.01, epochs=4, track_metrics=False,
+                matmul_gather_bwd=not onehot, onehot_gather=onehot,
+            ),
+        )
+        return tr.fit(jax.random.PRNGKey(3), (x, y))
+
+    res_d, res_o = fit(False), fit(True)
+    np.testing.assert_allclose(
+        np.asarray(res_d.history["train_loss"]),
+        np.asarray(res_o.history["train_loss"]),
+        rtol=2e-5, atol=1e-6,
+    )
+    for a, b in zip(jax.tree.leaves(res_d.params), jax.tree.leaves(res_o.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5)
