@@ -79,6 +79,13 @@ def main(argv=None) -> int:
         "--aux-weight", type=float,
         help="DIEN extension: auxiliary next-behavior loss weight (0 = off)",
     )
+    ap.add_argument(
+        "--fast-gathers", action="store_true",
+        help="the bench gather routes on the dense path: one-hot-matmul "
+        "forward gathers + one-hot-matmul gather backward (small vocabs; "
+        "same math to summation regrouping -- MF_LAYOUT_PROBE.json / "
+        "ONEHOT_FWD_PROBE.json measured winners)",
+    )
     ap.add_argument("--profile", metavar="DIR", help="capture a jax.profiler trace to DIR")
     ap.add_argument(
         "--debug-nans", action="store_true", help="fail fast on NaNs (numerical sanitizer)"
@@ -118,6 +125,9 @@ def main(argv=None) -> int:
         overrides["ep_strategy"] = args.ep_strategy
     if args.train_mode:
         overrides["train_mode"] = args.train_mode
+    if args.fast_gathers:
+        overrides["matmul_gather_bwd"] = True
+        overrides["onehot_gather"] = True
     if args.batch_size:
         overrides["batch_size"] = args.batch_size
     if args.sparse_optimizer:

@@ -55,6 +55,11 @@ class ExperimentConfig:
     # None = pure f32 (reference-parity numerics); 'bfloat16' = MXU fast path
     # with f32 master weights (see train.TrainConfig.compute_dtype)
     compute_dtype: Any = None
+    # dense-path gather routes (train.TrainConfig fields of the same names;
+    # CLI --fast-gathers sets both): one-hot-matmul backward / forward for
+    # the id-table gathers -- the bench's measured-winner configuration
+    matmul_gather_bwd: bool = False
+    onehot_gather: bool = False
     model_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     def replace(self, **kw) -> "ExperimentConfig":

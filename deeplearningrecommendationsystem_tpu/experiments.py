@@ -165,6 +165,8 @@ def run_experiment(
             mesh=mesh,
             ep_strategy=cfg.ep_strategy,
             unshard_params=cfg.unshard_params,
+            matmul_gather_bwd=cfg.matmul_gather_bwd,
+            onehot_gather=cfg.onehot_gather,
         ),
         aux_loss_fn=aux_loss_fn,
         aux_weight=cfg.aux_weight,
