@@ -110,6 +110,8 @@ def catalog_scores_full_history(
     num_items: int,
     buckets: tuple = (32, 64, 128, 256, 512, 1024),
     elem_budget: int = 32 * 1024 * 1024,
+    embed_fn: Optional[Callable] = None,
+    apply_embedded_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """[U, I] logits scoring each user's COMPLETE variable-length history.
 
@@ -128,6 +130,16 @@ def catalog_scores_full_history(
     ``apply_len_fn(params, (hist [B, Lb], target [B], length [B])) -> [B]``.
     ``histories``: sequence of per-user 1-D id arrays (variable length).
     ``elem_budget`` caps the [B, Lb, D]-shaped activation tile size.
+
+    Embed-once fast path (r5): the per-item-chunk forward re-gathers each
+    user's IDENTICAL history embedding for every chunk -- at bucket lengths
+    up to 1024 that repeated [B, Lb] gather dominates (the same slow in-scan
+    gather emitter the training probes measured). When both ``embed_fn``
+    ``(params, hist_ids [T, Lb]) -> [T, Lb, D]`` and ``apply_embedded_fn``
+    ``(params, (hist_e [B, Lb, D], target [B], length [B])) -> [B]`` are
+    given, each user tile's history is embedded ONCE and broadcast across
+    item chunks (a free XLA broadcast of exactly the rows the gather would
+    have produced -- bit-identical scores, tests/test_full_history.py).
     """
     import numpy as np  # host-side bucketing only
 
@@ -162,16 +174,24 @@ def catalog_scores_full_history(
             [items, jnp.zeros((i_pad - num_items,), jnp.int32)]
         ).reshape(-1, chunk)
 
+        embed_once = embed_fn is not None and apply_embedded_fn is not None
+
         def tile_fn(args, _Lb=Lb, _chunk=chunk):
             hist_t, len_t = args  # [T, Lb], [T]
             T = hist_t.shape[0]
+            he_t = embed_fn(params, hist_t) if embed_once else None  # [T, Lb, D]
 
             def item_chunk(tgt):  # [chunk]
+                t = jnp.tile(tgt, T)
+                l = jnp.repeat(len_t, _chunk)
+                if embed_once:
+                    he = jnp.broadcast_to(
+                        he_t[:, None, :, :], (T, _chunk, _Lb, he_t.shape[-1])
+                    ).reshape(-1, _Lb, he_t.shape[-1])
+                    return apply_embedded_fn(params, (he, t, l)).reshape(T, _chunk)
                 h = jnp.broadcast_to(
                     hist_t[:, None, :], (T, _chunk, _Lb)
                 ).reshape(-1, _Lb)
-                t = jnp.tile(tgt, T)
-                l = jnp.repeat(len_t, _chunk)
                 return apply_len_fn(params, (h, t, l)).reshape(T, _chunk)
 
             out = jax.lax.map(item_chunk, targets)  # [nC, T, chunk]

@@ -119,8 +119,14 @@ class DIEN:
         """
         hist, target, length = batch
         hist_e = gather_rows(params["item"], hist)
+        return self.apply_full_embedded(params, (hist_e, target, length))
+
+    def apply_full_embedded(self, params: dict, batch) -> jnp.ndarray:
+        """``apply_full`` from pre-gathered history embeddings (embed-once
+        serving fast path, models/base.py r5). Bit-identical scores."""
+        hist_e, target, length = batch  # [B, L, D], [B], [B]
         target_e = gather_rows(params["item"], target)
-        mask = jnp.arange(hist.shape[1])[None, :] < length[:, None]
+        mask = jnp.arange(hist_e.shape[1])[None, :] < length[:, None]
         w = din_attention_weights(params["att"], hist_e, target_e, mask)
         if self.use_augru:
             # extractor over the true steps; padded positions beyond
@@ -132,7 +138,7 @@ class DIEN:
             states = gru(
                 params["gru"], hist_e * w[..., None], return_sequence=True
             )  # [B, L, H]
-        idx = jnp.clip(length - 1, 0, hist.shape[1] - 1)
+        idx = jnp.clip(length - 1, 0, hist_e.shape[1] - 1)
         interest = jnp.take_along_axis(states, idx[:, None, None], axis=1)[:, 0]
         x = jnp.concatenate([interest, target_e], axis=-1)
         return mlp(params["fc"], x)[:, 0]
@@ -140,7 +146,9 @@ class DIEN:
     def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
         if ctx.full_histories is not None:
             return catalog_scores_full_history(
-                self.apply_full, params, ctx.full_histories, self.num_items
+                self.apply_full, params, ctx.full_histories, self.num_items,
+                embed_fn=lambda p, h: gather_rows(p["item"], h),
+                apply_embedded_fn=self.apply_full_embedded,
             )
         assert ctx.history is not None, "DIEN serving needs ctx.history"
         return catalog_scores_from_history(

@@ -129,8 +129,16 @@ class DIN:
         """
         hist, target, length = batch  # [B, L], [B], [B]
         hist_e = gather_rows(params["item"], hist)
+        return self.apply_full_embedded(params, (hist_e, target, length))
+
+    def apply_full_embedded(self, params: dict, batch) -> jnp.ndarray:
+        """``apply_full`` from pre-gathered history embeddings -- the
+        embed-once serving fast path (models/base.py r5): the bucketed
+        scorer embeds each user's history ONCE per tile instead of once per
+        item chunk. Bit-identical scores."""
+        hist_e, target, length = batch  # [B, L, D], [B], [B]
         target_e = gather_rows(params["item"], target)
-        mask = jnp.arange(hist.shape[1])[None, :] < length[:, None]
+        mask = jnp.arange(hist_e.shape[1])[None, :] < length[:, None]
         pooled = attention_pool(params["att"], hist_e, target_e, mask)
         x = jnp.concatenate([pooled, target_e], axis=-1)
         return mlp(params["fc"], x)[:, 0]
@@ -140,7 +148,9 @@ class DIN:
             # reference semantics: each user's complete variable-length
             # history (model/din.py:55-66), bucketed for static shapes
             return catalog_scores_full_history(
-                self.apply_full, params, ctx.full_histories, self.num_items
+                self.apply_full, params, ctx.full_histories, self.num_items,
+                embed_fn=lambda p, h: gather_rows(p["item"], h),
+                apply_embedded_fn=self.apply_full_embedded,
             )
         assert ctx.history is not None, "DIN serving needs ctx.history"
         fn = (
