@@ -43,17 +43,31 @@ def build_server(args):
     if args.epochs is not None:
         cfg = cfg.replace(epochs=args.epochs)
     cfg = cfg.replace(track_metrics=False, seed=args.seed)
+    data = MovieLens100K(args.data, seed=args.seed)
     mesh = None
     if args.mesh:
         from deeplearningrecommendationsystem_tpu.parallel import make_mesh
 
+        # validate the model can serve sharded BEFORE the training run:
+        # sharded_catalog_topk needs serving_factors (factored scores) or
+        # the sparse_tables+spec feature protocol (parallel/serving.py)
+        probe_model = build_model(cfg, data)
+        if not (
+            hasattr(probe_model, "serving_factors")
+            or (hasattr(probe_model, "sparse_tables")
+                and hasattr(probe_model, "spec"))
+        ):
+            raise SystemExit(
+                f"--mesh: {args.model} cannot serve from sharded tables "
+                "(needs serving_factors or the sparse_tables+spec protocol; "
+                "sequence models must serve dense -- drop --mesh)"
+            )
         data_ax, model_ax = (int(v) for v in args.mesh.split(","))
         mesh = make_mesh(data=data_ax, model=model_ax)
         # EP end to end: train sharded, keep the tables sharded, serve
         # sharded (parallel/serving.py) -- no unshard round-trip
         cfg = cfg.replace(mesh_shape=(data_ax, model_ax), unshard_params=False)
 
-    data = MovieLens100K(args.data, seed=args.seed)
     seen = (
         data.seen_mask(data.train, data.valid, data.test)
         if args.exclude_seen

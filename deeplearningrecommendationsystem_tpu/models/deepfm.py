@@ -76,6 +76,10 @@ class DeepFM:
         out = jnp.concatenate([fm.astype(deep.dtype), deep], axis=-1)
         return linear(params["out"], out)[:, 0]
 
+    # serving catalog scorer runs with one-hot-matmul gathers (measured
+    # winner, 1.46x -- serving.onehot_serving_scope / ONEHOT_SERVING_PROBE)
+    onehot_serving = True
+
     def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
         return catalog_scores_from_features(self.apply, params, ctx)
 

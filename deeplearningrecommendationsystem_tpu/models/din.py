@@ -143,6 +143,12 @@ class DIN:
         x = jnp.concatenate([pooled, target_e], axis=-1)
         return mlp(params["fc"], x)[:, 0]
 
+    # hist-window catalog scorer runs with one-hot-matmul gathers (measured
+    # winner, 2.64x); the full-history scorer is excluded by
+    # serving.onehot_serving_scope's ctx check (0.83x there) and uses the
+    # embed-once path instead
+    onehot_serving = True
+
     def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
         if ctx.full_histories is not None:
             # reference semantics: each user's complete variable-length

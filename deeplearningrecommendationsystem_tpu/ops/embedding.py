@@ -136,6 +136,11 @@ def gather_onehot(table: jax.Array, ids: jax.Array) -> jax.Array:
     one-hot cotangent matmul (the r3 ``gather_matmul_bwd`` trick), so no
     custom VJP is needed. Values are exact (a one-hot row extracts exact
     floats; no accumulation). Small vocabs only: O(N * V * D) FLOPs.
+
+    Out-of-range semantics differ from ``table[ids]``: the native gather
+    CLAMPS out-of-range ids (and wraps negatives) while the one-hot matches
+    nothing and yields a ZERO row. Callers must pass in-range ids (every
+    shipped route does: histories pad with the valid id 0).
     """
     flat = ids.reshape(-1)
     onehot = (

@@ -163,7 +163,6 @@ def sharded_feature_topk(
     (tests/test_sharded_serving.py).
     """
     m = mesh.shape[MODEL_AXIS]
-    spec = model.spec
     table_paths = dict(model.sparse_tables)
     user_paths = {n: p for n, p in table_paths.items() if "user" in n}
     item_paths = {n: p for n, p in table_paths.items() if "item" in n}

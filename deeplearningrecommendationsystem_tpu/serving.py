@@ -18,27 +18,23 @@ import numpy as np
 from deeplearningrecommendationsystem_tpu.eval.recommend import mask_seen
 from deeplearningrecommendationsystem_tpu.models.base import ServingContext
 
-# Catalog scorers whose measured winner is one-hot-matmul gathers
-# (ONEHOT_SERVING_PROBE.json: DeepFM 1.46x, DIN hist-window 2.64x -- the
-# scorers run under lax.map, where the native gather emitter is the same
-# layout victim the training probes found). NeuralCF (0.88x) and DIN's
-# full-history scorer (0.83x: bucket lengths up to 1024 multiply the
-# O(N*V) one-hot FLOPs) keep the native path.
-_ONEHOT_SERVING_WINNERS = {"DeepFM", "DIN"}
-
-
 def onehot_serving_scope(model, ctx: ServingContext):
     """Context manager applying the measured one-hot-gather serving policy
     while a catalog scorer TRACES (shared by Recommender.refresh and
-    tools/bench_serving.py so the bench measures the shipped path)."""
+    tools/bench_serving.py so the bench measures the shipped path).
+
+    Winners declare ``onehot_serving = True`` on the model class
+    (ONEHOT_SERVING_PROBE.json: DeepFM 1.46x, DIN hist-window 2.64x -- the
+    scorers run under lax.map, where the native gather emitter is the same
+    layout victim the training probes found). NeuralCF (0.88x) keeps the
+    native path, and so does the full-history scorer regardless of model
+    (0.83x: bucket lengths up to 1024 multiply the O(N*V) one-hot FLOPs --
+    it uses the embed-once path instead, models/base.py)."""
     import contextlib
 
     from deeplearningrecommendationsystem_tpu.parallel.ep import onehot_gather_fwd
 
-    if (
-        type(model).__name__ in _ONEHOT_SERVING_WINNERS
-        and ctx.full_histories is None
-    ):
+    if getattr(model, "onehot_serving", False) and ctx.full_histories is None:
         return onehot_gather_fwd()
     return contextlib.nullcontext()
 
@@ -230,9 +226,15 @@ class ShardedRecommender:
         return np.asarray(idx), np.asarray(vals)
 
     def score(self, user: int, items: Sequence[int]) -> np.ndarray:
-        """Raw scores of specific items for one user, from sharded tables:
-        the model's own forward with every vocab-table gather EP-routed
-        through the training collectives (parallel/ep.py::gather_rows)."""
+        """Scores of specific items for one user, from sharded tables: the
+        model's own forward with every vocab-table gather EP-routed through
+        the training collectives (parallel/ep.py::gather_rows). Seen items
+        return the same mask value the dense server does (Recommender.score
+        reads the mask_seen'd matrix), so /v1/score answers match between
+        the dense and sharded daemons."""
+        from deeplearningrecommendationsystem_tpu.eval.recommend import (
+            mask_seen,
+        )
         from deeplearningrecommendationsystem_tpu.parallel.ep import (
             embedding_partitioning,
         )
@@ -242,13 +244,12 @@ class ShardedRecommender:
         with embedding_partitioning(self._ep):
             if hasattr(self.model, "spec"):  # feature family: 45-col rows
                 n = items.shape[0]
+                uf = self.ctx.user_features
                 x = jnp.concatenate(
                     [
                         u.astype(jnp.float32)[:, None],
                         items.astype(jnp.float32)[:, None],
-                        jnp.broadcast_to(
-                            self.ctx.user_features[user][None, :], (n, 24)
-                        ),
+                        jnp.broadcast_to(uf[user][None, :], (n, uf.shape[1])),
                         self.ctx.item_features[items],
                     ],
                     axis=1,
@@ -256,4 +257,6 @@ class ShardedRecommender:
                 logits = self.model.apply(self.params, x)
             else:  # pair family (MF/NeuralCF shapes)
                 logits = self.model.apply(self.params, (u, items))
+        if self.seen is not None:
+            logits = mask_seen(logits, self.seen[user, items])
         return np.asarray(logits)

@@ -97,7 +97,6 @@ def run_ours(algo: str, repeats: int = 3):
                 m, embedding_size=100, learning_rate=0.01, iterations=10,
                 top_k=50, seed=0,
             )
-            recs = np.asarray(history["rec"][-1])
             # the reference evaluates EVERY iteration's recs (GDCF_Final.py
             # 66-95); include the same eval work
             per_iter = [

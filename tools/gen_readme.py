@@ -90,13 +90,20 @@ def render_blocks() -> dict:
         f"| **Full {len(speedups)}-model zoo** | — | **geomean {fmt_x(geo)}** |",
     ]
     for m, label in ZOO:
-        d = bench[m]
+        d = bench.get(m, {})
+        if "speedup_vs_reference" not in d:
+            continue  # partial BENCH_DETAILS: render what's measured
         rows.append(
             f"| {label} | {fmt_eps(d['examples_per_sec'])} ex/s "
             f"| {fmt_x(d['speedup_vs_reference'])} |"
         )
     slowest_m, slowest = min(
-        ((m, bench[m]["speedup_vs_reference"]) for m, _ in ZOO), key=lambda t: t[1]
+        (
+            (m, bench[m]["speedup_vs_reference"])
+            for m, _ in ZOO
+            if "speedup_vs_reference" in bench.get(m, {})
+        ),
+        key=lambda t: t[1],
     )
     floor = min(s / 5.0 for s in speedups)
     training = "\n".join(rows) + (

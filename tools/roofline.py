@@ -135,8 +135,7 @@ def main():
     for name in only:
         costs = analyze(name, data)
         d = details[name]
-        epochs = 100  # bench.EPOCHS
-        epoch_s = d["sec_total"] / epochs
+        epoch_s = d["sec_total"] / bench.EPOCHS
         dtype = d.get("compute_dtype", "float32")
         sol_ms = costs["hbm_bytes"] / HBM_GBPS * 1e3
         row = {
