@@ -269,10 +269,20 @@ def main() -> None:
 
     # Per-model details go to a side file; the driver captures only the LAST
     # stdout line, which must be the compact headline (VERDICT r2 weak #1).
-    details_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
-    )
-    with open(details_path, "w") as f:
+    # Roofline fields (tools/roofline.py, artifact of record ROOFLINE.json)
+    # are carried over so a bench re-run doesn't drop them.
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(root, "ROOFLINE.json")) as f:
+            roofline = json.load(f)
+        for name, r in roofline.items():
+            if name in details and "error" not in details[name]:
+                details[name].update(
+                    {k: r[k] for k in ("flops", "hbm_bytes", "pct_hbm_sol", "mfu")}
+                )
+    except FileNotFoundError:
+        pass
+    with open(os.path.join(root, "BENCH_DETAILS.json"), "w") as f:
         json.dump(details, f, indent=1, sort_keys=True)
 
     print(
