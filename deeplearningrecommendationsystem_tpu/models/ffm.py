@@ -96,5 +96,9 @@ class FFM:
         )
         return logits[:, 0]
 
+    # serving catalog scorer runs with one-hot-matmul gathers (measured
+    # winner, 2.83x -- serving.onehot_serving_scope / ONEHOT_SERVING_PROBE)
+    onehot_serving = True
+
     def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
         return catalog_scores_from_features(self.apply, params, ctx)

@@ -31,8 +31,12 @@ from deeplearningrecommendationsystem_tpu.features import ML100K_SPEC  # noqa: E
 from deeplearningrecommendationsystem_tpu.models import (  # noqa: E402
     DeepFM,
     DIN,
+    FFM,
     NeuralCF,
+    NFM,
+    PNN,
     ServingContext,
+    WideDeep,
 )
 from deeplearningrecommendationsystem_tpu.parallel.ep import onehot_gather_fwd  # noqa: E402
 
@@ -101,6 +105,10 @@ def main():
         ("deepfm", DeepFM(ML100K_SPEC)),
         ("neuralcf", NeuralCF(943, 1682)),
         ("din", DIN(1682, 64)),
+        ("ffm", FFM(ML100K_SPEC)),
+        ("widedeep", WideDeep(ML100K_SPEC)),
+        ("nfm", NFM(ML100K_SPEC)),
+        ("pnn", PNN(ML100K_SPEC)),
     ):
         if name not in only:
             continue
