@@ -9,6 +9,7 @@ expressed as a single fused batched op per field.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Sequence
 
 import jax
@@ -62,9 +63,6 @@ def embed_fields(
     if "genre" in tables:
         out["genre"] = genre @ tables["genre"]
     return out
-
-
-import functools
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))

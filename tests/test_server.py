@@ -169,3 +169,24 @@ def test_out_of_range_user_is_500_not_crash(server):
     assert "error" in payload
     # server still alive afterwards
     assert _get(server, "/healthz")[0] == 200
+
+
+def test_cli_serve_mesh_rejects_sequence_models():
+    """--mesh validation happens BEFORE training: sequence models cannot
+    serve from sharded tables (parallel/serving.py routing)."""
+    from deeplearningrecommendationsystem_tpu.cli import serve as cli_serve
+    from deeplearningrecommendationsystem_tpu.experiments import DEFAULT_DATA
+
+    class Args:
+        model = "din"
+        data = DEFAULT_DATA
+        epochs = 1
+        seed = 0
+        checkpoint = None
+        host = "127.0.0.1"
+        port = 0
+        exclude_seen = True
+        mesh = "2,4"
+
+    with pytest.raises(SystemExit, match="cannot serve"):
+        cli_serve.build_server(Args)
