@@ -59,10 +59,12 @@ COMPUTE_DTYPE = {
 # r5: one-hot-matmul FORWARD gathers (TrainConfig.onehot_gather) for the
 # models where the zoo probe measured a win (ONEHOT_FWD_PROBE.json: ffm
 # 1.78x, deepcrossing 1.26x, deepfm 1.12x, dien 1.12x, nfm 1.11x, widedeep
-# 1.08x; neutral-or-loss rows keep the default route). Same math -- XLA
-# fuses the compare-generated one-hot into the dot stream instead of the
-# slow native in-scan gather emitter (MF_LAYOUT_PROBE.json root cause).
-ONEHOT_GATHER = {"ffm", "deepfm", "widedeep", "nfm", "deepcrossing", "dien"}
+# 1.08x, din 1.02-1.04x across three settle windows; neutral-or-loss rows
+# keep the default route). Same math -- XLA fuses the compare-generated
+# one-hot into the dot stream instead of the slow native in-scan gather
+# emitter (MF_LAYOUT_PROBE.json root cause).
+ONEHOT_GATHER = {"ffm", "deepfm", "widedeep", "nfm", "deepcrossing", "dien",
+                 "din"}
 
 ZOO = (
     "lr", "mf", "neuralcf", "ffm", "widedeep", "deepfm", "nfm", "afm",
