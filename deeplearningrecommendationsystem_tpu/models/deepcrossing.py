@@ -53,5 +53,9 @@ class DeepCrossing:
             r = jax.nn.relu(linear(blk["down"], jax.nn.relu(linear(blk["up"], r))) + r)
         return linear(params["out"], r)[:, 0]
 
+    # serving catalog scorer runs with one-hot-matmul gathers (measured
+    # winner, 1.42x -- serving.onehot_serving_scope / ONEHOT_SERVING_PROBE)
+    onehot_serving = True
+
     def score_catalog(self, params: dict, ctx: ServingContext) -> jnp.ndarray:
         return catalog_scores_from_features(self.apply, params, ctx)

@@ -29,6 +29,9 @@ from deeplearningrecommendationsystem_tpu.experiments import DEFAULT_DATA  # noq
 from deeplearningrecommendationsystem_tpu.eval.recommend import top_k_unseen  # noqa: E402
 from deeplearningrecommendationsystem_tpu.features import ML100K_SPEC  # noqa: E402
 from deeplearningrecommendationsystem_tpu.models import (  # noqa: E402
+    AFM,
+    DCN,
+    DeepCrossing,
     DeepFM,
     DIN,
     FFM,
@@ -109,6 +112,9 @@ def main():
         ("widedeep", WideDeep(ML100K_SPEC)),
         ("nfm", NFM(ML100K_SPEC)),
         ("pnn", PNN(ML100K_SPEC)),
+        ("deepcrossing", DeepCrossing(ML100K_SPEC)),
+        ("deepcross", DCN(ML100K_SPEC)),
+        ("afm", AFM(ML100K_SPEC)),
     ):
         if name not in only:
             continue
